@@ -1,0 +1,121 @@
+"""Pipeline driver: the `Panorama` class.
+
+Library API shaped like the reference's headless path
+(/root/reference/src/main.cpp:43-66 and pan::panorama,
+/root/reference/src/classes/_panorama.cpp:440-537): construct with image
+paths, `stitch(config)`, then `get_preview()` / `get_panorama(roi)`.
+Progress is reported through a callback (the reference's atomic fraction
+protocol, _gtk_vars.h:17-58) and cancellation through a token polled at
+stage boundaries (_panorama.cpp:357-361).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from simplepanorama_tpu.config import Config
+
+
+class StitchCancelled(RuntimeError):
+    """Raised when the cancellation token is set mid-stitch."""
+
+
+class CancelToken:
+    """Cross-thread cancellation flag (reference: std::atomic<bool>
+    cancel_var, _panorama.h:200)."""
+
+    def __init__(self) -> None:
+        self._ev = threading.Event()
+
+    def cancel(self) -> None:
+        self._ev.set()
+
+    def cancelled(self) -> bool:
+        return self._ev.is_set()
+
+    def check(self) -> None:
+        if self._ev.is_set():
+            raise StitchCancelled("stitching cancelled")
+
+
+class Progress:
+    """Stage-weighted fractional progress (reference protocol: keypoints 1/6,
+    matching 1/6, BA 1/3, seams ~1/3 — see SURVEY §5)."""
+
+    def __init__(self, callback: Optional[Callable[[float, str], None]] = None):
+        self._cb = callback
+        self.fraction = 0.0
+        self.text = ""
+
+    def add(self, delta: float, text: Optional[str] = None) -> None:
+        self.fraction = min(1.0, self.fraction + delta)
+        if text is not None:
+            self.text = text
+        if self._cb:
+            self._cb(self.fraction, self.text)
+
+    def set(self, value: float, text: Optional[str] = None) -> None:
+        self.fraction = value
+        if text is not None:
+            self.text = text
+        if self._cb:
+            self._cb(self.fraction, self.text)
+
+
+class Panorama:
+    """Full pipeline driver. See `stitch()`."""
+
+    def __init__(self, paths: Sequence[str],
+                 progress: Optional[Callable[[float, str], None]] = None):
+        from simplepanorama_tpu.io import ImageSet
+        self.images = ImageSet(paths)
+        self.progress = Progress(progress)
+        self.cancel_token = CancelToken()
+        self.result = None           # stitch_result equivalent
+        self.stitch_params = None    # post-BA compositing state
+        self.config: Optional[Config] = None
+        self._full_pano: Optional[np.ndarray] = None
+        self.connected = (0, 0)      # (n_connected, n_total)
+
+    def cancel(self) -> None:
+        self.cancel_token.cancel()
+
+    # Full implementation lands with the end-to-end milestone; see
+    # simplepanorama_tpu/stitcher.py for the staged pipeline functions.
+    def stitch(self, config: Optional[Config] = None) -> "Panorama":
+        from simplepanorama_tpu import stitcher
+        self.config = config or Config()
+        self.result, self.stitch_params, self.connected = stitcher.run_pipeline(
+            self.images, self.config, self.progress, self.cancel_token)
+        self._full_pano = None
+        return self
+
+    def get_preview(self) -> np.ndarray:
+        from simplepanorama_tpu import stitcher
+        if self.stitch_params is None:
+            raise RuntimeError("stitch() has not been run")
+        return stitcher.render_preview(self.stitch_params, self.config)
+
+    def get_panorama(self, roi=None) -> np.ndarray:
+        """Full-resolution render (re-projects and re-blends only — BA ran at
+        init_size; _panorama.cpp:259-354). `roi` is (x, y, w, h) in preview
+        coordinates, rescaled like _panorama.cpp:547-569."""
+        from simplepanorama_tpu import stitcher
+        if self.stitch_params is None:
+            raise RuntimeError("stitch() has not been run")
+        if self._full_pano is None:
+            self._full_pano = stitcher.render_full(
+                self.stitch_params, self.config, self.images)
+        if roi is None:
+            return self._full_pano
+        preview = self.get_preview()
+        fh, fw = self._full_pano.shape[:2]
+        ph, pw = preview.shape[:2]
+        sx, sy = fw / pw, fh / ph
+        x, y, w, h = roi
+        x0 = max(0, int(x * sx)); y0 = max(0, int(y * sy))
+        x1 = min(fw, int((x + w) * sx)); y1 = min(fh, int((y + h) * sy))
+        return self._full_pano[y0:y1, x0:x1]
