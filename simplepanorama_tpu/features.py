@@ -1,0 +1,104 @@
+"""Feature-extraction front end: batch images onto the device, run the
+fixed-shape SIFT program, return center-origin keypoints + rootSIFT
+descriptors.
+
+Capability mirror of img::images::calculate_keypoints
+(/root/reference/src/classes/_image.cpp:105-166) and util::extract_keypoints
+(/root/reference/src/math/_homography.cpp:727-751): grayscale conversion,
+SIFT with the config's parameters, rootSIFT transform, and keypoint
+coordinates shifted to an image-center origin (integer half-size, matching
+the reference's ``pt.x - img.cols / 2``).
+
+The reference fans out one std::async task per image; here every image runs
+through ONE compiled XLA program (all images are replicate-padded to a
+common shape so a single jit cache entry serves the whole set), and the
+batch dimension is the unit of data parallelism for multi-device sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simplepanorama_tpu.config import Config
+from simplepanorama_tpu.ops.sift import extract_sift
+
+
+@dataclasses.dataclass
+class Features:
+    """Per-image fixed-capacity features (host-side numpy views)."""
+    xy: np.ndarray        # (K, 2) float32, center-origin (x, y)
+    size: np.ndarray      # (K,)
+    response: np.ndarray  # (K,)
+    desc: np.ndarray      # (K, 128) rootSIFT
+    valid: np.ndarray     # (K,) bool
+
+    @property
+    def count(self) -> int:
+        return int(self.valid.sum())
+
+
+def _to_gray(img_bgr: np.ndarray) -> np.ndarray:
+    """BGR uint8 -> float32 grayscale on the 0..255 scale (OpenCV weights)."""
+    b = img_bgr[..., 0].astype(np.float32)
+    g = img_bgr[..., 1].astype(np.float32)
+    r = img_bgr[..., 2].astype(np.float32)
+    return 0.114 * b + 0.587 * g + 0.299 * r
+
+
+def _pad_to(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    return np.pad(img, ((0, H - img.shape[0]), (0, W - img.shape[1])),
+                  mode="edge")
+
+
+def extract_features(images: Sequence[np.ndarray],
+                     cfg: Config,
+                     progress: Optional[Callable[[float], None]] = None,
+                     cancelled: Optional[Callable[[], bool]] = None,
+                     ) -> List[Features]:
+    """Extract SIFT features for a list of BGR uint8 images.
+
+    Every image is padded (edge-replicate) to the common max shape rounded
+    to a multiple of 8, so one compiled program serves all of them.
+    ``progress`` receives a per-image fraction delta; ``cancelled`` is
+    polled between images (the reference polls its atomic between async
+    tasks, _image.cpp:130).
+    """
+    if not images:
+        return []
+    K = cfg.sift_max_features()
+    Hm = max(im.shape[0] for im in images)
+    Wm = max(im.shape[1] for im in images)
+    Hp = (Hm + 7) // 8 * 8
+    Wp = (Wm + 7) // 8 * 8
+
+    out: List[Features] = []
+    n = len(images)
+    for im in images:
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        h, w = im.shape[:2]
+        g = _pad_to(_to_gray(im), Hp, Wp)
+        f = extract_sift(
+            jnp.asarray(g), jnp.array([h, w], jnp.int32),
+            max_kp=K,
+            n_layers=cfg.nOctaveLayers,
+            contrast_thresh=float(cfg.contrastThreshold),
+            edge_thresh=float(cfg.edgeThreshold),
+            sigma=float(cfg.sigma_sift))
+        xy = np.array(f.xy)
+        # center-origin shift with integer halves (reference convention)
+        xy[:, 0] -= w // 2
+        xy[:, 1] -= h // 2
+        valid = np.asarray(f.valid)
+        xy[~valid] = 0.0
+        out.append(Features(
+            xy=xy, size=np.asarray(f.size), response=np.asarray(f.response),
+            desc=np.asarray(f.desc), valid=valid))
+        if progress is not None:
+            progress(1.0 / n)
+    return out
