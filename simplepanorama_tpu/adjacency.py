@@ -1,0 +1,224 @@
+"""Pairwise match verification -> scene adjacency.
+
+Reproduces the behavior of ``util::adj_calculator``
+(/root/reference/src/math/_homography.cpp:503-697,814-917) with a TPU-first
+execution model: instead of a thread pool over (i, j) pairs, pairs are
+packed into fixed-size device batches and every stage (2-NN matching,
+RANSAC, overlap verification) is one vmapped XLA program.
+
+Pipeline (reference call order, _panorama.cpp:385-436):
+  pass 1  raw ratio-test match counts for all upper-tri pairs
+          (get_match_number_matrix, :663-697)
+  filter  keep top ``max_images_per_match`` candidates per row
+          (heuristic_match_filter, :837-878)
+  pass 2  per surviving pair: RANSAC homography, inlier count, both-direction
+          overlap acceptance tests, cleaned top-``max_keypoints`` matches
+          (cal_adj -> match_quality, :503-660; clean_matches, :881-917)
+
+Adjacency weight of an accepted pair = overlap percentage (:658).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simplepanorama_tpu.config import Config
+from simplepanorama_tpu.features import Features
+from simplepanorama_tpu.ops.matching import match_pair_batch, gather_match_coords
+from simplepanorama_tpu.ops.homography import (
+    ransac_homography, apply_h, inlier_distances)
+from simplepanorama_tpu.ops.polygon import overlap_stats
+
+_MIN_RAW_MATCHES = 30  # match_quality requires >= 30 raw matches (:523)
+
+
+@dataclasses.dataclass
+class Adjacency:
+    """Scene graph produced by pairwise verification."""
+    adj: np.ndarray        # (N, N) upper-tri weights (overlap %), 0 = rejected
+    raw_counts: np.ndarray  # (N, N) pass-1 ratio-test match counts
+    hom_mat: np.ndarray    # (N, N, 3, 3); [i, j] maps image-j pts -> image-i
+    # cleaned matches per accepted ordered pair: (i, j) -> (xy_i, xy_j)
+    # arrays of shape (M, 2) in center-origin coords, M <= max_keypoints
+    matches: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = \
+        dataclasses.field(default_factory=dict)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iter", "match_cap", "keep_cap"))
+def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
+                  hw_q, hw_t, keys,
+                  n_iter: int, match_cap: int, keep_cap: int,
+                  margin, min_overlap, overlap_inl_match,
+                  overlap_inl_keyp, conf):
+    """Verify a batch of B image pairs. Returns per-pair acceptance,
+    weight, H, and cleaned match coordinates (fixed capacity keep_cap)."""
+    B = desc_q.shape[0]
+    match_idx, match_valid, n_raw = match_pair_batch(
+        desc_q, desc_t, valid_q, valid_t, match_cap)
+    q, t = gather_match_coords(xy_q, xy_t, match_idx, match_valid)
+
+    def one(q1, t1, mv, hw1, hw2, xy1, v1, xy2, v2, key, nr):
+        H, inl = ransac_homography(q1, t1, mv, hw1, hw2, key,
+                                   n_iter=n_iter, margin=margin)
+        H = H / H[2, 2]
+        n_in = jnp.sum(inl)
+        Hinv = jnp.linalg.inv(H)
+
+        ov1, akp1, am1 = overlap_stats(H, hw1, hw2, xy1, v1, q1, mv)
+        ov2, akp2, am2 = overlap_stats(Hinv, hw2, hw1, xy2, v2, t1, mv)
+
+        f = lambda a, b: a.astype(jnp.float32) / b.astype(jnp.float32)
+        oim1, oik1 = f(n_in, am1), f(n_in, akp1)
+        oim2, oik2 = f(n_in, am2), f(n_in, akp2)
+
+        accept = (
+            (nr >= _MIN_RAW_MATCHES)
+            & (oim1 <= 1.0) & (ov1 >= min_overlap)
+            & (oim1 >= overlap_inl_match) & (oik1 >= overlap_inl_keyp)
+            & (oim2 <= 1.0) & (ov2 >= min_overlap)
+            & (oim2 >= overlap_inl_match) & (oik2 >= overlap_inl_keyp)
+            # the reference averages the *second* direction with itself
+            # (match_quality, _homography.cpp:619-621) — kept verbatim
+            & ((oik2 + oik2) * 0.5 >= conf)
+        )
+
+        # clean_matches: inliers within margin ranked by reprojection dist,
+        # top keep_cap (:881-917)
+        d = inlier_distances(H, q1, t1, mv)
+        dk, order = jax.lax.top_k(-d, keep_cap)
+        keep_valid = jnp.isfinite(-dk) & ((-dk) <= margin) & accept
+        kq = q1[order]
+        kt = t1[order]
+        weight = jnp.where(accept, ov1, 0.0)
+        return accept, weight, H, kq, kt, keep_valid
+
+    return jax.vmap(one)(q, t, match_valid, hw_q, hw_t,
+                         xy_q, valid_q, xy_t, valid_t, keys, n_raw)
+
+
+def _stack_features(feats: Sequence[Features]):
+    xy = jnp.asarray(np.stack([f.xy for f in feats]))
+    desc = jnp.asarray(np.stack([f.desc for f in feats]))
+    valid = jnp.asarray(np.stack([f.valid for f in feats]))
+    return xy, desc, valid
+
+
+def raw_match_counts(feats: Sequence[Features], cfg: Config,
+                     chunk: int = 64,
+                     progress: Optional[Callable[[float], None]] = None,
+                     cancelled: Optional[Callable[[], bool]] = None,
+                     ) -> np.ndarray:
+    """Pass 1: ratio-test match counts for all upper-triangular pairs."""
+    n = len(feats)
+    counts = np.zeros((n, n))
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    xy, desc, valid = _stack_features(feats)
+    total = max(1, len(pairs))
+    for s in range(0, len(pairs), chunk):
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        blk = pairs[s:s + chunk]
+        qi = jnp.asarray([p[0] for p in blk])
+        ti = jnp.asarray([p[1] for p in blk])
+        _, _, nm = match_pair_batch(desc[qi], desc[ti], valid[qi], valid[ti],
+                                    cfg.max_matches_per_pair)
+        nm = np.asarray(nm)
+        for (i, j), c in zip(blk, nm):
+            counts[i, j] = float(c)
+        if progress is not None:
+            progress(len(blk) / total)
+    return counts
+
+
+def heuristic_match_filter(counts: np.ndarray, n: int) -> np.ndarray:
+    """Keep the top-n candidates per row of the upper triangle
+    (heuristic_match_filter, _homography.cpp:837-878)."""
+    size = counts.shape[0]
+    if n <= 0 or size == 0:
+        raise ValueError("Wrong parameter or empty matches")
+    n = min(n, size)
+    out = np.zeros_like(counts)
+    for i in range(size):
+        cand = [(counts[i, j], j) for j in range(i + 1, size)]
+        cand.sort(key=lambda p: p[0], reverse=True)
+        for v, j in cand[:n]:
+            out[i, j] = v
+    return out
+
+
+def build_adjacency(feats: Sequence[Features],
+                    sizes: Sequence[Tuple[int, int]],
+                    cfg: Config,
+                    seed: int = 0,
+                    chunk: int = 32,
+                    progress: Optional[Callable[[float], None]] = None,
+                    cancelled: Optional[Callable[[], bool]] = None,
+                    ) -> Adjacency:
+    """Full two-pass adjacency computation (panorama::get_adj_par)."""
+    n = len(feats)
+    counts = raw_match_counts(
+        feats, cfg, chunk=64,
+        progress=(lambda d: progress(d * 0.5)) if progress else None,
+        cancelled=cancelled)
+    filtered = heuristic_match_filter(counts, cfg.max_images_per_match)
+
+    adj = np.zeros((n, n))
+    hom = np.zeros((n, n, 3, 3))
+    hom[:] = np.eye(3)
+    result = Adjacency(adj=adj, raw_counts=counts, hom_mat=hom)
+
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if filtered[i, j] >= _MIN_RAW_MATCHES]
+    if not pairs:
+        return result
+
+    xy, desc, valid = _stack_features(feats)
+    hw = jnp.asarray(np.array(sizes, np.int32))  # (N, 2) as (h, w)
+    master = jax.random.PRNGKey(seed)
+    total = max(1, len(pairs))
+    for s in range(0, len(pairs), chunk):
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        blk = pairs[s:s + chunk]
+        # pad the final block to the chunk size to keep one compiled shape
+        pad = chunk - len(blk)
+        blk_p = blk + [blk[-1]] * pad
+        qi = jnp.asarray([p[0] for p in blk_p])
+        ti = jnp.asarray([p[1] for p in blk_p])
+        keys = jax.random.split(jax.random.fold_in(master, s), len(blk_p))
+        accept, weight, H, kq, kt, kv = _verify_pairs(
+            desc[qi], desc[ti], xy[qi], xy[ti], valid[qi], valid[ti],
+            hw[qi], hw[ti], keys,
+            n_iter=cfg.RANSAC_iterations,
+            match_cap=cfg.max_matches_per_pair,
+            keep_cap=cfg.max_keypoints,
+            margin=float(cfg.x_margin),
+            min_overlap=cfg.min_overlap,
+            overlap_inl_match=cfg.overlap_inl_match,
+            overlap_inl_keyp=cfg.overlap_inl_keyp,
+            conf=cfg.conf)
+        accept = np.asarray(accept)
+        weight = np.asarray(weight)
+        H = np.array(H)
+        kq = np.asarray(kq)
+        kt = np.asarray(kt)
+        kv = np.asarray(kv)
+        for b, (i, j) in enumerate(blk):
+            if not accept[b]:
+                continue
+            adj[i, j] = weight[b]
+            hom[i, j] = H[b]
+            hom[j, i] = np.linalg.inv(H[b])
+            m = kv[b]
+            result.matches[(i, j)] = (kq[b][m], kt[b][m])
+            result.matches[(j, i)] = (kt[b][m], kq[b][m])
+        if progress is not None:
+            progress(len(blk) / total * 0.5)
+    return result

@@ -1,0 +1,311 @@
+"""Bundle adjustment: Levenberg-Marquardt with a Schur complement, as one
+jitted fixed-shape JAX program.
+
+Objective and schedule reproduce the reference's ``bund``/``bundm``/``bundf``
+(/root/reference/src/math/_bundle_adjust_tools.cpp, _bundle_adjust_main.cpp,
+_bundle_adjust_fast.cpp):
+
+  * model:  H(i, j) = K_j . R_i^T . R_j . K_i^{-1}   (ret_hom,
+    _bundle_adjust_tools.cpp:134-139 — the reference's own convention,
+    kept verbatim so rendering pairs with it);
+  * state:  per-camera {focal, principal(2), rotvec(3)} plus, in the
+    relaxed ("main") objective, a per-match estimated source point b
+    (initialized to the train keypoint);
+  * residual per directed match (i, j):  r = [t - b, q - dehom(H(i,j) b)]
+    where q = query keypoint in image i, t = train keypoint in image j
+    (E_func::error, :55-72);
+  * LM loop (iterate, _bundle_adjust_main.cpp:416-510): <=50 trials,
+    accept -> lambda/=10, reject -> lambda*=10, stop after 6 consecutive
+    rejections; error metric = sum over matches of ||r||;
+  * augmentation (:270-324): U diagonal scaled by (1 + lambda*s) with
+    s = focal*.001 for the intrinsic block and pi/16 for rotations; V
+    diagonal scaled by (1 + lambda*focal_last*.001) — the reference uses
+    the *last* camera's focal here, kept for parity;
+  * Schur: (U* - sum Y W^T) da = e_A - sum Y e_B;  db = V*^{-1}(e_B - W^T da)
+    (get_error, :346-413). The fast/Lowe variant (bundf) drops the b
+    parameters entirely and solves U* da = e_A.
+  * anchor gauge: cameras whose rotation is identity never receive rotation
+    updates (add_delta, _bundle_adjust_tools.cpp:762-771).
+
+TPU-first deviations from the reference (behavior-preserving or fixing
+reference bugs):
+  * Jacobians come from vmapped forward-mode autodiff of the closed-form
+    residual (the reference hand-derives A/B and validates them against
+    finite differences — autodiff is exactly that closed form);
+  * all normal-equation terms are segment-sums over the match axis, so
+    sharding matches across devices turns them into psum-reducible
+    partials (the distributed-BA path);
+  * the trial state is always based on the *accepted* state (the reference
+    accumulates principal-point deltas across rejected trials,
+    _bundle_adjust_tools.cpp:776 — a bug, not reproduced);
+  * the Schur system is Jacobi-preconditioned before the f32 solve.
+
+Everything is padded: N cameras and M matches are static capacities;
+``cam_active`` / match activity masks select the incremental subproblem, so
+ONE compiled LM program serves every node-addition step of the driver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simplepanorama_tpu.geometry.rotation import rodrigues
+
+_AUG_FOCAL = 1e-3
+_AUG_ANG = float(np.pi / 16.0)
+
+
+class BAData(NamedTuple):
+    """Static match tables (device arrays, fixed capacity M)."""
+    mi: jnp.ndarray       # (M,) i32 query-image index (image of q)
+    mj: jnp.ndarray       # (M,) i32 train-image index (image of t)
+    q: jnp.ndarray        # (M, 2) query keypoint, center-origin
+    t: jnp.ndarray        # (M, 2) train keypoint, center-origin
+    m_valid: jnp.ndarray  # (M,) bool — slot holds a real match
+
+
+class CamState(NamedTuple):
+    focal: jnp.ndarray    # (N,)
+    ppal: jnp.ndarray     # (N, 2)
+    rotvec: jnp.ndarray   # (N, 3)
+    b: jnp.ndarray        # (M, 2) estimated source points (relaxed objective)
+
+
+def _K_of(focal, ppal):
+    z = jnp.zeros_like(focal)
+    o = jnp.ones_like(focal)
+    return jnp.stack([
+        jnp.stack([focal, z, ppal[..., 0]], -1),
+        jnp.stack([z, focal, ppal[..., 1]], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def _K_inv_of(focal, ppal):
+    # closed-form inverse of [[f,0,px],[0,f,py],[0,0,1]]
+    inv_f = 1.0 / focal
+    z = jnp.zeros_like(focal)
+    o = jnp.ones_like(focal)
+    return jnp.stack([
+        jnp.stack([inv_f, z, -ppal[..., 0] * inv_f], -1),
+        jnp.stack([z, inv_f, -ppal[..., 1] * inv_f], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def _match_residual(cam_i, cam_j, b, q, t):
+    """Residual of one match. cam_* = (6,) [f, px, py, rx, ry, rz]."""
+    K_j = _K_of(cam_j[0], cam_j[1:3])
+    K_i_inv = _K_inv_of(cam_i[0], cam_i[1:3])
+    R_i = rodrigues(cam_i[3:6])
+    R_j = rodrigues(cam_j[3:6])
+    H = K_j @ R_i.T @ R_j @ K_i_inv
+    p = H @ jnp.array([b[0], b[1], 1.0])
+    p2 = p[:2] / jnp.where(jnp.abs(p[2]) < 1e-12, 1e-12, p[2])
+    return jnp.concatenate([t - b, q - p2])
+
+
+_res_jac = jax.jacfwd(_match_residual, argnums=(0, 1, 2))
+
+
+def _cam6(cams: CamState):
+    return jnp.concatenate([cams.focal[:, None], cams.ppal, cams.rotvec], -1)
+
+
+def residuals(cams: CamState, data: BAData, active_m: jnp.ndarray,
+              fast: bool) -> jnp.ndarray:
+    """(M, 4) residuals, zeroed on inactive slots."""
+    c6 = _cam6(cams)
+    b = data.t if fast else cams.b
+    r = jax.vmap(_match_residual)(c6[data.mi], c6[data.mj], b,
+                                  data.q, data.t)
+    return jnp.where(active_m[:, None], r, 0.0)
+
+
+def total_error(cams: CamState, data: BAData, active_m, fast: bool):
+    """Sum over active matches of ||r_m|| (the reference's metric)."""
+    r = residuals(cams, data, active_m, fast)
+    return jnp.sum(jnp.linalg.norm(r, axis=-1))
+
+
+def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
+              fast: bool, n_cams: int):
+    """Build and augment the (Schur-reduced) camera system.
+
+    Returns (S (6N,6N), rhs (6N,), Vinv (M,2,2), Wi, Wj, eB) — the last
+    four are None-like zeros in fast mode.
+    """
+    N = n_cams
+    c6 = _cam6(cams)
+    b = data.t if fast else cams.b
+    Ai, Aj, B = jax.vmap(_res_jac)(c6[data.mi], c6[data.mj], b,
+                                   data.q, data.t)
+    r = jax.vmap(_match_residual)(c6[data.mi], c6[data.mj], b,
+                                  data.q, data.t)
+    msk = active_m[:, None, None]
+    Ai = jnp.where(msk, Ai, 0.0)
+    Aj = jnp.where(msk, Aj, 0.0)
+    B = jnp.where(msk, B, 0.0)
+    r = jnp.where(active_m[:, None], r, 0.0)
+
+    # U blocks via one segment-sum over 4M contributions -> (N*N, 6, 6)
+    seg_ii = data.mi * N + data.mi
+    seg_jj = data.mj * N + data.mj
+    seg_ij = data.mi * N + data.mj
+    seg_ji = data.mj * N + data.mi
+    blocks = jnp.concatenate([
+        jnp.einsum("mab,mac->mbc", Ai, Ai),
+        jnp.einsum("mab,mac->mbc", Aj, Aj),
+        jnp.einsum("mab,mac->mbc", Ai, Aj),
+        jnp.einsum("mab,mac->mbc", Aj, Ai)], 0)
+    segs = jnp.concatenate([seg_ii, seg_jj, seg_ij, seg_ji], 0)
+    U = jax.ops.segment_sum(blocks, segs, num_segments=N * N)
+    U = U.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+
+    # gradient with the Gauss-Newton sign: we differentiate the RESIDUAL
+    # r = meas - model, so the step solves (J^T J + lam D) d = -J^T r
+    # (the reference differentiates the model, absorbing the minus)
+    eA = -(jax.ops.segment_sum(jnp.einsum("mab,ma->mb", Ai, r), data.mi,
+                               num_segments=N)
+           + jax.ops.segment_sum(jnp.einsum("mab,ma->mb", Aj, r), data.mj,
+                                 num_segments=N)).reshape(-1)
+
+    # augmentation scales (augment, _bundle_adjust_main.cpp:270-324)
+    aug = jnp.concatenate([
+        jnp.repeat(cams.focal[:, None] * _AUG_FOCAL, 3, axis=1),
+        jnp.full((N, 3), _AUG_ANG)], axis=1).reshape(-1)
+    U_aug = U + jnp.diag(jnp.diag(U) * lam * aug)
+
+    if fast:
+        S, rhs = U_aug, eA
+        Vinv = Wi = Wj = eB = None
+    else:
+        V = jnp.einsum("mab,mac->mbc", B, B)            # (M,2,2)
+        eB = -jnp.einsum("mab,ma->mb", B, r)            # (M,2)
+        Wi = jnp.einsum("mab,mac->mbc", Ai, B)          # (M,6,2)
+        Wj = jnp.einsum("mab,mac->mbc", Aj, B)
+        # V augment: reference quirk — scale by the LAST active camera's
+        # focal (the loop variable's final value)
+        last = jnp.max(jnp.where(cam_active, jnp.arange(N), 0))
+        aug_l = 1.0 + lam * cams.focal[last] * _AUG_FOCAL
+        Va = V.at[:, 0, 0].multiply(aug_l).at[:, 1, 1].multiply(aug_l)
+        det = Va[:, 0, 0] * Va[:, 1, 1] - Va[:, 0, 1] * Va[:, 1, 0]
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        Vinv = jnp.stack([
+            jnp.stack([Va[:, 1, 1], -Va[:, 0, 1]], -1),
+            jnp.stack([-Va[:, 1, 0], Va[:, 0, 0]], -1)], -2) / det[:, None, None]
+        Vinv = jnp.where(active_m[:, None, None], Vinv, 0.0)
+
+        Yi = Wi @ Vinv                                   # (M,6,2)
+        Yj = Wj @ Vinv
+        yw = jnp.concatenate([
+            jnp.einsum("mab,mcb->mac", Yi, Wi),
+            jnp.einsum("mab,mcb->mac", Yj, Wj),
+            jnp.einsum("mab,mcb->mac", Yi, Wj),
+            jnp.einsum("mab,mcb->mac", Yj, Wi)], 0)
+        YW = jax.ops.segment_sum(yw, segs, num_segments=N * N)
+        YW = YW.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+        yeb = (jax.ops.segment_sum(jnp.einsum("mab,mb->ma", Yi, eB), data.mi,
+                                   num_segments=N)
+               + jax.ops.segment_sum(jnp.einsum("mab,mb->ma", Yj, eB),
+                                     data.mj, num_segments=N)).reshape(-1)
+        S = U_aug - YW
+        rhs = eA - yeb
+
+    # inactive cameras: identity diagonal block, zero rhs -> zero delta
+    act6 = jnp.repeat(cam_active, 6)
+    S = jnp.where(act6[:, None] & act6[None, :], S, 0.0)
+    S = S + jnp.diag(jnp.where(act6, 0.0, 1.0))
+    rhs = jnp.where(act6, rhs, 0.0)
+    return S, rhs, Vinv, Wi, Wj, eB
+
+
+def _solve_preconditioned(S, rhs):
+    """Jacobi-preconditioned solve (f32-friendly conditioning)."""
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(S)), 1e-12))
+    Dinv = 1.0 / d
+    Ss = S * Dinv[:, None] * Dinv[None, :]
+    y = jnp.linalg.solve(Ss, rhs * Dinv)
+    return y * Dinv
+
+
+def _apply_delta(cams: CamState, da, db, data: BAData, cam_active,
+                 active_m, fast: bool):
+    """Trial state from deltas. Rotation frozen for identity-rotation
+    cameras (gauge anchor, add_delta)."""
+    N = cams.focal.shape[0]
+    da = da.reshape(N, 6)
+    da = jnp.where(cam_active[:, None], da, 0.0)
+    frozen = jnp.linalg.norm(cams.rotvec, axis=-1) < 1e-6
+    focal = cams.focal + da[:, 0]
+    ppal = cams.ppal + da[:, 1:3]
+    rotvec = jnp.where(frozen[:, None], cams.rotvec,
+                       cams.rotvec + da[:, 3:6])
+    if fast or db is None:
+        b = cams.b
+    else:
+        b = cams.b + jnp.where(active_m[:, None], db, 0.0)
+    return CamState(focal, ppal, rotvec, b)
+
+
+class LMResult(NamedTuple):
+    cams: CamState
+    error: jnp.ndarray        # final accepted sum-of-norms error
+    lam: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("fast", "max_iter"))
+def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
+           lambda0, fast: bool = False, max_iter: int = 50) -> LMResult:
+    """Full LM optimization over the active subproblem (one XLA program)."""
+    N = cams.focal.shape[0]
+    active_m = data.m_valid & cam_active[data.mi] & cam_active[data.mj]
+
+    def cond(st):
+        it, strikes, *_ = st
+        return (it < max_iter) & (strikes <= 5)
+
+    def body(st):
+        it, strikes, cur, lam, n_acc = st
+        S, rhs, Vinv, Wi, Wj, eB = _assemble(
+            cur, data, active_m, lam, cam_active, fast, N)
+        da = _solve_preconditioned(S, rhs)
+        if fast:
+            db = None
+        else:
+            da_n = da.reshape(N, 6)
+            wtd = (jnp.einsum("mab,ma->mb", Wi, da_n[data.mi])
+                   + jnp.einsum("mab,ma->mb", Wj, da_n[data.mj]))
+            db = jnp.einsum("mab,mb->ma", Vinv, eB - wtd)
+        trial = _apply_delta(cur, da, db, data, cam_active, active_m, fast)
+        err_cur = total_error(cur, data, active_m, fast)
+        err_new = total_error(trial, data, active_m, fast)
+        ok = err_new < err_cur
+        finite = jnp.isfinite(err_new)
+        ok = ok & finite
+        nxt = jax.tree.map(lambda a, b: jnp.where(ok, a, b), trial, cur)
+        lam = jnp.where(ok, lam * 0.1, lam * 10.0)
+        strikes = jnp.where(ok, 0, strikes + 1)
+        return (it + 1, strikes, nxt, lam, n_acc + ok.astype(jnp.int32))
+
+    init = (jnp.array(0), jnp.array(0), cams, jnp.asarray(lambda0, jnp.float32),
+            jnp.array(0))
+    it, strikes, cur, lam, n_acc = jax.lax.while_loop(cond, body, init)
+    return LMResult(cams=cur,
+                    error=total_error(cur, data, active_m, fast),
+                    lam=lam, n_accepted=n_acc)
+
+
+def model_homography(cams: CamState, i: int, j: int) -> jnp.ndarray:
+    """H(i, j) of the BA model (ret_hmat) — maps b-points to image i."""
+    K_j = _K_of(cams.focal[j], cams.ppal[j])
+    K_i_inv = _K_inv_of(cams.focal[i], cams.ppal[i])
+    R_i = rodrigues(cams.rotvec[i])
+    R_j = rodrigues(cams.rotvec[j])
+    return K_j @ R_i.T @ R_j @ K_i_inv

@@ -1,0 +1,220 @@
+"""Incremental bundle-adjustment stitching driver.
+
+Reproduces stch::bundleadjust_stitching (/root/reference/src/math/
+_stitch.cpp:157-337): nodes are added in greedy strongest-edge order
+(orderNodesByConnection, :8-82); each new camera inherits K from its
+connection with the principal point zeroed (:248-251) and a rotation
+initialized from the pairwise RANSAC homography via SVD orthogonalization
+(approximate_rot = nearest rotation to K_new^-1 H K_conn, :134-154,
+R_new = R_init . R_conn); after every addition a FULL LM bundle adjustment
+runs over all cameras added so far (:268-295); finally the K principal
+points are shifted by the integer image half-sizes (:303-307).
+
+TPU-first shape discipline: cameras and matches are padded once to the
+component's final capacity, so every node-addition step reuses ONE compiled
+LM program (ba.lm_run) with a different activity mask — the reference
+instead rebuilds an Eigen problem of growing size each time (prep_opt,
+:85-131).
+
+Deviation (reference bug not reproduced): the reference overwrites its
+global homography table with the sub-problem-indexed ret_hmat result
+(_stitch.cpp:283 'Hom_mat_new = teees.hom' — local indices into a global
+table). We initialize each new camera from the pairwise RANSAC homography,
+which is what the surviving entries of that table hold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from simplepanorama_tpu.config import Config
+from simplepanorama_tpu.adjacency import Adjacency
+from simplepanorama_tpu.geometry.graph import Component, order_nodes_by_connection
+from simplepanorama_tpu import ba
+
+
+@dataclasses.dataclass
+class StitchResult:
+    """Post-BA state (stch::stitch_result, _stitch.h:19-41), in
+    component-local indexing plus the global-node map."""
+    rot: np.ndarray            # (n, 3, 3)
+    K: np.ndarray              # (n, 3, 3), centers shifted by half-size
+    adj: np.ndarray            # (n, n) upper-tri weights
+    connectivity: np.ndarray   # (n,)
+    order: List[Tuple[int, int]]  # [(node, connected_to)] local indices
+    nodes: List[int]           # local -> global image index
+    center: int                # best-connected local node (maxLoc)
+    sizes: List[Tuple[int, int]]  # (h, w) per local node
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def build_ba_data(comp: Component, adjres: Adjacency,
+                  cap_round: int = 512) -> Tuple[ba.BAData, np.ndarray]:
+    """Flatten the component's directed cleaned matches into padded device
+    tables. Returns (data, pair_count_matrix)."""
+    nodes = comp.nodes
+    g2l = {g: l for l, g in enumerate(nodes)}
+    mi, mj, q, t = [], [], [], []
+    for (gi, gj), (xy_i, xy_j) in adjres.matches.items():
+        if gi in g2l and gj in g2l:
+            li, lj = g2l[gi], g2l[gj]
+            mi.extend([li] * len(xy_i))
+            mj.extend([lj] * len(xy_i))
+            q.append(xy_i)
+            t.append(xy_j)
+    M = len(mi)
+    cap = max(cap_round, _round_up(M, cap_round))
+    mi_a = np.zeros(cap, np.int32)
+    mj_a = np.zeros(cap, np.int32)
+    q_a = np.zeros((cap, 2), np.float32)
+    t_a = np.zeros((cap, 2), np.float32)
+    valid = np.zeros(cap, bool)
+    if M:
+        mi_a[:M] = mi
+        mj_a[:M] = mj
+        q_a[:M] = np.concatenate(q)
+        t_a[:M] = np.concatenate(t)
+        valid[:M] = True
+    data = ba.BAData(mi=jnp.asarray(mi_a), mj=jnp.asarray(mj_a),
+                     q=jnp.asarray(q_a), t=jnp.asarray(t_a),
+                     m_valid=jnp.asarray(valid))
+    return data, None
+
+
+def _orthogonalize_np(M: np.ndarray) -> np.ndarray:
+    U, _, Vt = np.linalg.svd(M)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        Vt[2] *= -1
+    return U @ Vt
+
+
+def bundle_adjust_stitching(comp: Component,
+                            adjres: Adjacency,
+                            sizes: Sequence[Tuple[int, int]],
+                            focal: float,
+                            cfg: Config,
+                            progress: Optional[Callable[[float], None]] = None,
+                            cancelled: Optional[Callable[[], bool]] = None,
+                            ) -> StitchResult:
+    """Run the incremental BA over one connected component.
+
+    ``sizes`` are (h, w) of the *global* image list; ``focal`` the scene
+    focal estimate (or config fallback).
+    """
+    nodes = comp.nodes
+    n = len(nodes)
+    adj_sym = comp.adj + comp.adj.T
+    order = order_nodes_by_connection(adj_sym)
+    center = int(np.argmax(comp.connectivity))
+
+    rot = np.tile(np.eye(3), (n, 1, 1))
+    K = np.tile(np.diag([focal, focal, 1.0]), (n, 1, 1))
+
+    data, _ = build_ba_data(comp, adjres)
+
+    def local_H(li: int, lj: int) -> np.ndarray:
+        """RANSAC H mapping image-lj points into image-li (global table)."""
+        return adjres.hom_mat[nodes[li], nodes[lj]].astype(np.float64)
+
+    if n == 1 or len(order) < 2:
+        Ks = K.copy()
+        for l in range(n):
+            h, w = sizes[nodes[l]]
+            Ks[l, 0, 2] += w // 2
+            Ks[l, 1, 2] += h // 2
+        return StitchResult(rot=rot, K=Ks, adj=comp.adj,
+                            connectivity=comp.connectivity, order=order,
+                            nodes=nodes, center=center,
+                            sizes=[sizes[g] for g in nodes])
+
+    first, second = order[0][0], order[1][0]
+    # R for the second node: nearest rotation to K^-1 H K (both K equal)
+    H01 = local_H(first, second)
+    rot[second] = _orthogonalize_np(
+        np.linalg.inv(K[first]) @ H01 @ K[first])
+    K[second] = K[first]
+
+    cam_active = np.zeros(n, bool)
+    cam_active[[first, second]] = True
+    lam = float(cfg.lambda_)
+
+    def run_lm() -> None:
+        cams = ba.CamState(
+            focal=jnp.asarray(K[:, 0, 0].astype(np.float32)),
+            ppal=jnp.asarray(K[:, :2, 2].astype(np.float32)),
+            rotvec=jnp.asarray(np.stack([
+                _rotvec_np(rot[i]) for i in range(n)]).astype(np.float32)),
+            b=data.t)
+        res = ba.lm_run(cams, data, jnp.asarray(cam_active), lam,
+                        fast=bool(cfg.fast))
+        focal_new = np.asarray(res.cams.focal)
+        ppal_new = np.asarray(res.cams.ppal)
+        rv_new = np.asarray(res.cams.rotvec)
+        for i in range(n):
+            if cam_active[i]:
+                K[i] = np.array([[focal_new[i], 0, ppal_new[i, 0]],
+                                 [0, focal_new[i], ppal_new[i, 1]],
+                                 [0, 0, 1.0]])
+                rot[i] = _rodrigues_np(rv_new[i])
+
+    run_lm()
+    if progress is not None:
+        progress(1.0 / max(1, len(order) - 1))
+
+    for l in range(2, len(order)):
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        node, conn = order[l]
+        Kn = K[conn].copy()
+        Kn[0, 2] = 0.0
+        Kn[1, 2] = 0.0
+        K[node] = Kn
+        H = local_H(conn, node)
+        R_init = _orthogonalize_np(np.linalg.inv(Kn) @ H @ K[conn])
+        rot[node] = R_init @ rot[conn]
+        cam_active[node] = True
+        run_lm()
+        if progress is not None:
+            progress(1.0 / max(1, len(order) - 1))
+
+    Ks = K.copy()
+    for l in range(n):
+        h, w = sizes[nodes[l]]
+        Ks[l, 0, 2] += w // 2
+        Ks[l, 1, 2] += h // 2
+    return StitchResult(rot=rot, K=Ks, adj=comp.adj,
+                        connectivity=comp.connectivity, order=order,
+                        nodes=nodes, center=center,
+                        sizes=[sizes[g] for g in nodes])
+
+
+def _rodrigues_np(v: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(v)
+    if th < 1e-10:
+        return np.eye(3) + _skew(v)
+    u = v / th
+    Kx = _skew(u)
+    return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+
+def _rotvec_np(R: np.ndarray) -> np.ndarray:
+    Rs = _orthogonalize_np(R)
+    v = np.array([Rs[2, 1] - Rs[1, 2], Rs[0, 2] - Rs[2, 0],
+                  Rs[1, 0] - Rs[0, 1]])
+    s = np.linalg.norm(v)
+    c = np.clip((np.trace(Rs) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(c)
+    if s < 1e-10:
+        return np.zeros(3)
+    return v * (th / s)
+
+
+def _skew(v: np.ndarray) -> np.ndarray:
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
