@@ -1,0 +1,123 @@
+"""Command-line interface.
+
+The reference is a GTK app; its disabled headless path
+(/root/reference/src/main.cpp:43-66) defines the library call shape this
+CLI exposes: construct a panorama from image paths, stitch with a config,
+write the result. Every pan::config field is a flag; a config file in the
+reference's key=value format can be read and written.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from simplepanorama_tpu.config import (
+    Blending, Config, Projection, Stretch, read_config_file,
+    write_config_file)
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    c = Config()
+    p.add_argument("--config", help="key=value config file (reference format)")
+    p.add_argument("--save-config", help="write the effective config here")
+    p.add_argument("--threads", type=int, default=None)
+    p.add_argument("--init-size", type=int, default=None,
+                   help=f"working resolution max side (default {c.init_size})")
+    p.add_argument("--blend", choices=[b.name for b in Blending], default=None)
+    p.add_argument("--proj", choices=[b.name for b in Projection], default=None)
+    p.add_argument("--stretching", choices=[b.name for b in Stretch],
+                   default=None)
+    for name, flag in [("gain_compensation", "--gain"),
+                       ("blend_intensity", "--blend-intensity"),
+                       ("cut", "--graph-cut"),
+                       ("cut_seams", "--cut-seams"),
+                       ("straighten", "--straighten"),
+                       ("fix_center", "--fix-center"),
+                       ("fast", "--fast")]:
+        g = p.add_mutually_exclusive_group()
+        g.add_argument(flag, dest=name, action="store_true", default=None)
+        g.add_argument(flag.replace("--", "--no-"), dest=name,
+                       action="store_false", default=None)
+    for name, typ in [("bands", int), ("sigma_blend", float),
+                      ("focal", float), ("lambda_", float),
+                      ("max_images_per_match", int), ("max_keypoints", int),
+                      ("RANSAC_iterations", int), ("x_margin", int),
+                      ("min_overlap", float), ("overlap_inl_match", float),
+                      ("overlap_inl_keyp", float), ("conf", float),
+                      ("nfeatures", int), ("nOctaveLayers", int),
+                      ("contrastThreshold", float), ("edgeThreshold", float),
+                      ("sigma_sift", float)]:
+        p.add_argument(f"--{name.replace('_', '-').rstrip('-')}",
+                       dest=name, type=typ, default=None)
+
+
+def _build_config(args) -> Config:
+    cfg = Config()
+    if args.config:
+        cfg = read_config_file(args.config, cfg)
+    for f in vars(args):
+        if hasattr(cfg, f) and getattr(args, f) is not None:
+            val = getattr(args, f)
+            cur = getattr(cfg, f)
+            if isinstance(cur, Blending):
+                val = Blending[val] if isinstance(val, str) else val
+            elif isinstance(cur, Projection):
+                val = Projection[val] if isinstance(val, str) else val
+            elif isinstance(cur, Stretch):
+                val = Stretch[val] if isinstance(val, str) else val
+            setattr(cfg, f, val)
+    return cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="panotpu",
+        description="TPU-native panorama stitcher (SimplePanorama rebuild)")
+    p.add_argument("images", nargs="+", help="input image paths")
+    p.add_argument("-o", "--output", default="panorama.jpg")
+    p.add_argument("--full-res", action="store_true",
+                   help="render at full input resolution (default: preview)")
+    p.add_argument("--crop", type=int, nargs=4, metavar=("X", "Y", "W", "H"),
+                   help="crop ROI in preview coordinates")
+    p.add_argument("--quiet", action="store_true")
+    _add_config_flags(p)
+    args = p.parse_args(argv)
+
+    cfg = _build_config(args)
+    if args.save_config:
+        write_config_file(args.save_config, cfg)
+
+    from simplepanorama_tpu.pipeline import Panorama
+    from simplepanorama_tpu.io import save_image
+
+    def report(frac, text):
+        if not args.quiet:
+            print(f"\r[{frac:5.1%}] {text:<28}", end="", flush=True)
+
+    t0 = time.time()
+    pano = Panorama(args.images, progress=report)
+    pano.stitch(cfg)
+    if not args.quiet:
+        print(f"\nconnected {pano.connected[0]} of {pano.connected[1]} "
+              f"images in {time.time() - t0:.1f}s")
+
+    if args.full_res:
+        out = pano.get_panorama(tuple(args.crop) if args.crop else None)
+    else:
+        out = pano.get_preview()
+        if args.crop:
+            x, y, w, h = args.crop
+            out = out[y:y + h, x:x + w]
+    if not save_image(args.output, out):
+        print(f"error: could not write {args.output}", file=sys.stderr)
+        return 1
+    if not args.quiet:
+        print(f"wrote {args.output} ({out.shape[1]}x{out.shape[0]})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

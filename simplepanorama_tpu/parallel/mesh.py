@@ -1,0 +1,42 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism is a single-process thread pool
+(std::async over images, std::thread over (i,j) pairs, OpenMP over match
+chunks — SURVEY §2.7). The TPU equivalents are device-mesh axes:
+
+  * ``images``/``pairs``: data-parallel batch axes for SIFT extraction and
+    pair verification (independent work, no collectives);
+  * ``match``: the BA normal-equation axis — per-match Jacobian blocks are
+    computed locally and segment-summed; XLA turns the cross-shard
+    reduction into a psum over the mesh axis.
+
+All helpers work on any backend (the CI fake backend is an 8-device CPU
+mesh via --xla_force_host_platform_device_count).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_matches(data, mesh: Mesh, axis: str = "data"):
+    """Place BAData with the match axis sharded across ``axis`` (camera
+    tables are tiny and live replicated)."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), data)
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

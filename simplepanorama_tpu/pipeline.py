@@ -107,7 +107,7 @@ class Panorama:
         if self.stitch_params is None:
             raise RuntimeError("stitch() has not been run")
         if self._full_pano is None:
-            self._full_pano = stitcher.render_full(
+            self._full_pano = stitcher.render_full_from_imageset(
                 self.stitch_params, self.config, self.images)
         if roi is None:
             return self._full_pano

@@ -1,0 +1,224 @@
+"""Rotation warpers: spherical / cylindrical / stereographic projections.
+
+Capability mirror of proj::{spherical,cylindrical,sten}_proj
+(/root/reference/src/math/_projection.cpp) which wrap OpenCV's
+detail::RotationWarper family. The TPU design splits the work:
+
+  * host (numpy, tiny): forward-map each image's border to find its
+    destination ROI (OpenCV detectResultRoi semantics) — ROIs are shape
+    metadata and must be static for XLA;
+  * device (one vmapped jitted program): backward-map every destination
+    pixel of a common padded ROI through ray geometry and bilinearly
+    gather from the source image. The footprint mask falls out of the
+    same map (in-bounds + in-front), then gets eroded like the
+    reference's createSurroundingMask + 3x erode pipeline
+    (_projection.cpp:446-449).
+
+Projection formulas are the standard ones the reference's OpenCV warpers
+use (scale = projector focal): forward maps unit ray -> (u, v) plane,
+backward the inverse. K is adjusted to principal point
+(w - cx, h - cy) exactly like the reference (_projection.cpp:38-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# projection math (host + device shared, works on numpy or jnp arrays)
+# ---------------------------------------------------------------------------
+
+def _forward_spherical(x, y, z, xp):
+    u = xp.arctan2(x, z)
+    n = xp.sqrt(x * x + y * y + z * z)
+    v = xp.pi - xp.arccos(xp.clip(y / n, -1.0, 1.0))
+    return u, v
+
+
+def _backward_spherical(u, v, xp):
+    sinv = xp.sin(v)
+    return sinv * xp.sin(u), -xp.cos(v), sinv * xp.cos(u)
+
+
+def _forward_cylindrical(x, y, z, xp):
+    u = xp.arctan2(x, z)
+    v = y / xp.sqrt(x * x + z * z)
+    return u, v
+
+
+def _backward_cylindrical(u, v, xp):
+    return xp.sin(u), v, xp.cos(u)
+
+
+def _forward_stereographic(x, y, z, xp):
+    u_ = xp.arctan2(x, z)
+    n = xp.sqrt(x * x + y * y + z * z)
+    v_ = xp.pi - xp.arccos(xp.clip(y / n, -1.0, 1.0))
+    r = xp.sin(v_) / (1.0 - xp.cos(v_) + 1e-12)
+    return r * xp.cos(u_), r * xp.sin(u_)
+
+
+def _backward_stereographic(u, v, xp):
+    u_ = xp.arctan2(v, u)
+    r = xp.sqrt(u * u + v * v)
+    v_ = 2.0 * xp.arctan(1.0 / (r + 1e-12))
+    sinv = xp.sin(v_)
+    return sinv * xp.sin(u_), -xp.cos(v_), sinv * xp.cos(u_)
+
+
+_PROJ = {
+    "spherical": (_forward_spherical, _backward_spherical),
+    "cylindrical": (_forward_cylindrical, _backward_cylindrical),
+    "stereographic": (_forward_stereographic, _backward_stereographic),
+}
+
+
+def adjusted_K(K: np.ndarray, h: int, w: int) -> np.ndarray:
+    """K with principal point (w - cx, h - cy) (_projection.cpp:38-42)."""
+    Ka = np.array(K, np.float64)
+    Ka[0, 2] = w - K[0, 2]
+    Ka[1, 2] = h - K[1, 2]
+    return Ka
+
+
+def roi_for_image(kind: str, scale: float, R: np.ndarray, K: np.ndarray,
+                  h: int, w: int, step: int = 4) -> Tuple[int, int, int, int]:
+    """Destination ROI (tl_x, tl_y, width, height) by forward-mapping the
+    source border (detectResultRoiByBorder semantics), host-side numpy."""
+    fwd, _ = _PROJ[kind]
+    Ka = adjusted_K(K, h, w)
+    xs = np.arange(0, w, step, dtype=np.float64)
+    ys = np.arange(0, h, step, dtype=np.float64)
+    border = np.concatenate([
+        np.stack([xs, np.zeros_like(xs)], 1),
+        np.stack([xs, np.full_like(xs, h - 1)], 1),
+        np.stack([np.zeros_like(ys), ys], 1),
+        np.stack([np.full_like(ys, w - 1), ys], 1)])
+    pts = np.concatenate([border, np.ones((len(border), 1))], 1)
+    rays = pts @ (np.asarray(R) @ np.linalg.inv(Ka)).T
+    u, v = fwd(rays[:, 0], rays[:, 1], rays[:, 2], np)
+    u = u * scale
+    v = v * scale
+    tl_x = int(np.floor(u.min()))
+    tl_y = int(np.floor(v.min()))
+    br_x = int(np.ceil(u.max()))
+    br_y = int(np.ceil(v.max()))
+    return tl_x, tl_y, br_x - tl_x + 1, br_y - tl_y + 1
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_h", "out_w"))
+def warp_backward(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
+                  corner: jnp.ndarray, scale,
+                  kind: str, out_h: int, out_w: int,
+                  valid_hw: jnp.ndarray):
+    """Backward-map warp of one image into its padded destination ROI.
+
+    img: (H, W, C) float32 (replicate/zero padded to common shape);
+    valid_hw: true (h, w) of the source. Returns (warped (out_h,out_w,C),
+    mask (out_h,out_w) bool) — mask not yet eroded.
+    """
+    _, bwd = _PROJ[kind]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    u = (xx + corner[0]) / scale
+    v = (yy + corner[1]) / scale
+    dx, dy, dz = bwd(u, v, jnp)
+    M = K_adj @ R.T                       # k_rinv
+    px = M[0, 0] * dx + M[0, 1] * dy + M[0, 2] * dz
+    py = M[1, 0] * dx + M[1, 1] * dy + M[1, 2] * dz
+    pz = M[2, 0] * dx + M[2, 1] * dy + M[2, 2] * dz
+    in_front = pz > 1e-9
+    zs = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
+    sx = px / zs
+    sy = py / zs
+    h = valid_hw[0].astype(jnp.float32)
+    w = valid_hw[1].astype(jnp.float32)
+    inb = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1) & in_front
+
+    H, W = img.shape[:2]
+    x0 = jnp.clip(jnp.floor(sx), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy), 0, H - 2).astype(jnp.int32)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(sy - y0, 0.0, 1.0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    out = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+           + (v10 * (1 - fx) + v11 * fx) * fy)
+    out = jnp.where(inb[..., None], out, 0.0)
+    return out, inb
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def erode_mask(mask: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
+    """3x3 min-pool erosion, outside-is-black border handling
+    (blnd::erode + the 3x cv::erode in get_proj_parameters)."""
+    m = mask.astype(jnp.float32)
+    for _ in range(iters):
+        m = -jax.lax.reduce_window(-m, -1.0, jax.lax.max, (3, 3), (1, 1),
+                                   "SAME")
+        # reduce_window SAME pads with -init (=1 after negation is wrong);
+        # force borders to zero like the reference's outside-is-black rule
+        m = m.at[0, :].set(0.0).at[-1, :].set(0.0)
+        m = m.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    return m > 0.5
+
+
+@dataclasses.dataclass
+class ProjData:
+    """Warped images/masks/corners (proj::proj_data)."""
+    imgs: List[np.ndarray]      # (h_i, w_i, 3) float32 per image
+    masks: List[np.ndarray]     # (h_i, w_i) bool
+    corners: List[Tuple[int, int]]  # (tl_x, tl_y)
+
+
+def get_proj_parameters(kind: str, scale: float,
+                        images: Sequence[np.ndarray],
+                        Rs: Sequence[np.ndarray],
+                        Ks: Sequence[np.ndarray],
+                        connectivity: Sequence[float],
+                        get_masks: bool = True) -> ProjData:
+    """Warp every connected image (proj::get_proj_parameters,
+    _projection.cpp:422-454). Images are BGR uint8 or float; output floats
+    keep the input scale."""
+    sel = [i for i in range(len(images)) if connectivity[i] > 0]
+    rois = {}
+    for i in sel:
+        h, w = images[i].shape[:2]
+        rois[i] = roi_for_image(kind, scale, Rs[i], Ks[i], h, w)
+    out_h = max(rois[i][3] for i in sel)
+    out_w = max(rois[i][2] for i in sel)
+    out_h = (out_h + 7) // 8 * 8
+    out_w = (out_w + 127) // 128 * 128
+    Hs = max(im.shape[0] for im in images)
+    Ws = max(im.shape[1] for im in images)
+
+    imgs_out, masks_out, corners = [], [], []
+    for i in sel:
+        im = images[i].astype(np.float32)
+        h, w = im.shape[:2]
+        imp = np.pad(im, ((0, Hs - h), (0, Ws - w), (0, 0)))
+        tlx, tly, rw, rh = rois[i]
+        Ka = adjusted_K(Ks[i], h, w)
+        warped, mask = warp_backward(
+            jnp.asarray(imp), jnp.asarray(Ka.astype(np.float32)),
+            jnp.asarray(np.asarray(Rs[i], np.float32)),
+            jnp.asarray(np.array([tlx, tly], np.float32)),
+            float(scale), kind, out_h, out_w,
+            jnp.asarray(np.array([h, w], np.int32)))
+        if get_masks:
+            mask = erode_mask(mask, iters=4)
+        wnp = np.asarray(warped)[:rh, :rw]
+        mnp = np.asarray(mask)[:rh, :rw]
+        imgs_out.append(wnp)
+        masks_out.append(mnp)
+        corners.append((tlx, tly))
+    return ProjData(imgs=imgs_out, masks=masks_out, corners=corners)

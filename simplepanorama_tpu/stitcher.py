@@ -1,0 +1,267 @@
+"""Compositing orchestration: the reference's pan::stitch_parameters.
+
+set_config (/root/reference/src/classes/_panorama.cpp:75-158):
+  optional straightening -> projector with focal = K(0,0) of the
+  best-connected camera -> warp all connected images -> (stereographic
+  center fix) -> optional intensity equalization -> optional gain
+  compensation -> seam masks (graph-cut if ``cut`` else distance-transform
+  if MULTI_BLEND or ``cut_seams``).
+
+get_preview (:161-209): gain-divided images + intensity adjustment,
+then blend dispatch (:220-256): NO_BLEND pastes with cut masks when
+available, SIMPLE_BLEND feathers the footprint masks, MULTI_BLEND blends
+cut seams against the footprint.
+
+return_full (:259-354): reload full-res images, rescale K by the
+resolution ratio, re-project, resize seam masks, re-blend — BA never
+reruns at full resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from simplepanorama_tpu.config import Config, Blending, Projection
+from simplepanorama_tpu.stitch import StitchResult
+from simplepanorama_tpu.render import projection as prj
+from simplepanorama_tpu.render import blending as blnd
+from simplepanorama_tpu.render import seams as sms
+from simplepanorama_tpu.render import gain as gn
+from simplepanorama_tpu.render import exposure as expo
+
+_PROJ_KIND = {
+    Projection.SPHERICAL: "spherical",
+    Projection.CYLINDRICAL: "cylindrical",
+    Projection.STEREOGRAPHIC: "stereographic",
+}
+
+
+@dataclasses.dataclass
+class StitchParams:
+    """Post-BA compositing state (pan::stitch_parameters)."""
+    res: StitchResult
+    rot: np.ndarray                 # possibly straightened copy
+    proj_kind: str
+    scale: float
+    imgs: List[np.ndarray]          # warped, float32 0..255
+    masks: List[np.ndarray]         # footprint masks
+    corners: List[Tuple[int, int]]
+    seam_masks: Optional[List[np.ndarray]] = None
+    gains: Optional[np.ndarray] = None
+    intensity_fields: Optional[List[np.ndarray]] = None
+
+
+def set_config(res: StitchResult, images: Sequence[np.ndarray],
+               cfg: Config,
+               progress: Optional[Callable[[float], None]] = None,
+               cancelled: Optional[Callable[[], bool]] = None,
+               ) -> StitchParams:
+    """images: the *component's* images (res.nodes order), BGR uint8."""
+    rot = res.rot.copy()
+    if cfg.straighten:
+        rot = expo.straighten(rot)
+
+    scale = float(res.K[res.center][0, 0])
+    kind = _PROJ_KIND[cfg.proj]
+
+    pd = prj.get_proj_parameters(
+        kind, scale, [im.astype(np.float32) for im in images],
+        list(rot), list(res.K), list(res.connectivity))
+
+    params = StitchParams(res=res, rot=rot, proj_kind=kind, scale=scale,
+                          imgs=pd.imgs, masks=pd.masks, corners=pd.corners)
+
+    # stereographic missing-center fix handled in render/sten_fix
+    if cfg.fix_center and cfg.proj == Projection.STEREOGRAPHIC:
+        from simplepanorama_tpu.render import sten_fix
+        sten_fix.apply_center_fix(params, cfg)
+
+    if cancelled is not None and cancelled():
+        raise RuntimeError("Process canceled")
+
+    if cfg.blend_intensity:
+        params.intensity_fields = expo.equalize_intensities(
+            params.imgs, params.masks, params.corners)
+
+    if cfg.gain_compensation:
+        # component-local adjacency for the warped (connected) images
+        params.gains = gn.gain_compensation(
+            params.imgs, params.masks, params.corners, res.adj)
+
+    if cfg.cut:
+        from simplepanorama_tpu.render import graphcut
+        params.seam_masks = graphcut.graph_cut(
+            params.imgs, params.masks, params.corners,
+            [n for n, _ in res.order], progress=progress,
+            cancelled=cancelled)
+    elif cfg.blend == Blending.MULTI_BLEND or cfg.cut_seams:
+        params.seam_masks = sms.dist_cut(params.masks, params.corners)
+
+    return params
+
+
+def _blend_dispatch(params: StitchParams, cfg: Config,
+                    imgs: List[np.ndarray],
+                    masks: List[np.ndarray],
+                    seam_masks: Optional[List[np.ndarray]],
+                    corners) -> np.ndarray:
+    if cfg.blend == Blending.NO_BLEND:
+        use_masks = seam_masks if (cfg.cut or cfg.cut_seams) and seam_masks \
+            else masks
+        out = blnd.blend("NO_BLEND", imgs, use_masks, masks, corners)
+    elif cfg.blend == Blending.SIMPLE_BLEND:
+        out = blnd.blend("SIMPLE_BLEND", imgs, masks, masks, corners)
+    else:
+        out = blnd.blend("MULTI_BLEND", imgs, seam_masks, masks, corners,
+                         bands=cfg.bands, sigma=cfg.sigma_blend)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def render_preview(params: StitchParams, cfg: Config) -> np.ndarray:
+    """Preview assembly (stitch_parameters::get_preview)."""
+    imgs = params.imgs
+    if cfg.gain_compensation and params.gains is not None:
+        imgs = [im / g for im, g in zip(imgs, params.gains)]
+    if cfg.blend_intensity and params.intensity_fields is not None:
+        imgs = expo.adjust_intensity(imgs, params.intensity_fields)
+    return _blend_dispatch(params, cfg, list(imgs), params.masks,
+                           params.seam_masks, params.corners)
+
+
+def render_full(params: StitchParams, cfg: Config,
+                full_images: Sequence[Optional[np.ndarray]]) -> np.ndarray:
+    """Full-resolution re-render (stitch_parameters::return_full):
+    rescale K by the full/preview resolution ratio, re-project, resize
+    seam masks, re-blend. ``full_images`` indexed like the component."""
+    import cv2
+    res = params.res
+    n = len(res.nodes)
+    K_scaled = res.K.copy().astype(np.float64)
+    sizes_full = []
+    ratio = 1.0
+    for l in range(n):
+        img = full_images[l]
+        if img is None:
+            sizes_full.append(res.sizes[l])
+            continue
+        h0, w0 = res.sizes[l]
+        h1, w1 = img.shape[:2]
+        r = w1 / w0
+        ratio = r
+        K_scaled[l, 0, 0] *= r
+        K_scaled[l, 0, 2] *= r
+        K_scaled[l, 1, 1] *= r
+        K_scaled[l, 1, 2] *= r
+        sizes_full.append((h1, w1))
+
+    scale = float(K_scaled[res.center][0, 0])
+    imgs_f = [im.astype(np.float32) if im is not None
+              else np.zeros((4, 4, 3), np.float32) for im in full_images]
+    pd = prj.get_proj_parameters(
+        params.proj_kind, scale, imgs_f, list(params.rot), list(K_scaled),
+        list(res.connectivity))
+
+    seam_masks = None
+    if params.seam_masks is not None:
+        seam_masks = []
+        for sm, im in zip(params.seam_masks, pd.imgs):
+            smf = cv2.resize(sm.astype(np.float32),
+                             (im.shape[1], im.shape[0]),
+                             interpolation=cv2.INTER_CUBIC)
+            seam_masks.append(smf > 0.5)
+
+    imgs = pd.imgs
+    if cfg.gain_compensation and params.gains is not None:
+        imgs = [im / g for im, g in zip(imgs, params.gains)]
+    if cfg.blend_intensity and params.intensity_fields is not None:
+        imgs = expo.adjust_intensity(imgs, params.intensity_fields)
+    return _blend_dispatch(params, cfg, list(imgs), pd.masks, seam_masks,
+                           pd.corners)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline driver (pan::panorama::stitch_panorama, _panorama.cpp:440-537)
+# ---------------------------------------------------------------------------
+
+def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
+    """load -> features -> adjacency -> components -> focal -> BA -> warp.
+
+    ``images`` is an io.ImageSet; returns (StitchResult, StitchParams,
+    (n_connected, n_total)). Progress weights follow the reference:
+    keypoints 1/6, matching 1/6, BA 1/3, seams/warp ~1/3 (SURVEY §5).
+    """
+    from simplepanorama_tpu.features import extract_features
+    from simplepanorama_tpu.adjacency import build_adjacency
+    from simplepanorama_tpu.geometry.graph import connected_components
+    from simplepanorama_tpu.geometry.focal import focal_from_hom
+    from simplepanorama_tpu.stitch import bundle_adjust_stitching
+
+    cancelled = (cancel_token.cancelled if cancel_token is not None
+                 else None)
+
+    def prog(stage_delta, text=None):
+        if progress is not None:
+            progress.add(stage_delta, text)
+
+    if progress is not None:
+        progress.set(0.0, "Calculating Keypoints...")
+    images.load_resized(cfg.init_size, cfg.threads)
+    n_total = len(images.img_data)
+    if n_total < 2:
+        raise RuntimeError("Need at least two images")
+
+    feats = extract_features(
+        images.img_data, cfg,
+        progress=lambda d: prog(d / 6.0),
+        cancelled=cancelled)
+
+    if progress is not None:
+        progress.set(1 / 6, "Matching Images...")
+    sizes = [im.shape[:2] for im in images.img_data]
+    adjres = build_adjacency(
+        feats, sizes, cfg,
+        progress=lambda d: prog(d / 6.0),
+        cancelled=cancelled)
+
+    comps = connected_components(adjres.adj)
+    comp = comps[0]
+    if len(comp.nodes) < 2:
+        raise RuntimeError("Images could not be connected")
+
+    focal = focal_from_hom(adjres.hom_mat, adjres.adj)
+    if focal <= 0:
+        focal = float(cfg.focal)
+
+    if progress is not None:
+        progress.set(2 / 6, "Adjusting Panorama...")
+    res = bundle_adjust_stitching(
+        comp, adjres, sizes, focal, cfg,
+        progress=lambda d: prog(d / 3.0),
+        cancelled=cancelled)
+
+    if progress is not None:
+        progress.set(4 / 6, "Projecting Images...")
+    comp_imgs = [images.img_data[g] for g in res.nodes]
+    params = set_config(res, comp_imgs, cfg,
+                        progress=lambda d: prog(d / 3.0),
+                        cancelled=cancelled)
+    if progress is not None:
+        progress.set(1.0, "Done")
+    return res, params, (len(comp.nodes), n_total)
+
+
+def render_full_from_imageset(params: StitchParams, cfg: Config,
+                              images) -> np.ndarray:
+    """Full-res render driven by an io.ImageSet (panorama::get_panorama ->
+    return_full: full-res decode of only the connected images,
+    _image.cpp:76-91)."""
+    res = params.res
+    connected = [False] * len(images.loaded)
+    for g in res.nodes:
+        connected[g] = True
+    full = images.load_connected_images(connected, cfg.threads)
+    comp_full = [full[g] for g in res.nodes]
+    return render_full(params, cfg, comp_full)

@@ -1,0 +1,43 @@
+"""End-to-end golden tests on the reference's bundled sequences
+(results/* are de-facto regression fixtures, SURVEY §4)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_map_sequence_stitches():
+    """The 6-image map sequence must fully connect and produce a panorama
+    with the reference output's aspect ratio (map.jpg is 1152x2272 ->
+    0.507)."""
+    from simplepanorama_tpu import Panorama, Config
+    paths = sorted(glob.glob("/root/reference/results/map/budapest*.jpg"))
+    cfg = Config()
+    cfg.init_size = 400          # keep CPU CI fast; geometry is scale-free
+    cfg.RANSAC_iterations = 500
+    p = Panorama(paths)
+    p.stitch(cfg)
+    assert p.connected == (6, 6)
+    prev = p.get_preview()
+    h, w = prev.shape[:2]
+    aspect = h / w
+    assert abs(aspect - 1152 / 2272) < 0.03, f"aspect {aspect:.3f}"
+    nz = (prev.sum(-1) > 0).mean()
+    assert nz > 0.85, f"coverage {nz:.2f}"
+
+
+@pytest.mark.slow
+def test_cli_runs(tmp_path):
+    from simplepanorama_tpu.cli import main
+    paths = sorted(glob.glob("/root/reference/results/map/budapest*.jpg"))[:3]
+    out = tmp_path / "pano.jpg"
+    rc = main(paths + ["-o", str(out), "--init-size", "400",
+                       "--RANSAC-iterations", "300", "--quiet",
+                       "--blend", "SIMPLE_BLEND"])
+    assert rc == 0
+    assert out.exists()
+    import cv2
+    img = cv2.imread(str(out))
+    assert img is not None and img.shape[0] > 100
