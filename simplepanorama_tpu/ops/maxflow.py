@@ -1,0 +1,149 @@
+"""Data-parallel min-cut on a 4-connected grid: push-relabel in JAX.
+
+The reference vendors the Boykov-Kolmogorov max-flow library
+(/root/reference/src/max_flow/, ~1748 LoC of pointer-chasing C++ —
+maxflow.cpp:472's grow/augment/adopt loop) — inherently sequential.
+The TPU-native replacement is lock-step push-relabel with periodic global
+relabeling (the standard GPU formulation): every phase is an elementwise
+(H, W) update with 4-neighbor shifts, so the whole solver is a single
+jitted lax.while_loop on the VPU. It converges to a minimum cut of the
+same graph, so seam quality matches BK exactly up to min-cut ties.
+
+Graph encoding: t-links are folded into a signed excess
+(e = cap_source - cap_sink); nodes with negative excess are sink demands.
+Termination: max preflow is reached when no positive-excess node can
+reach a sink demand in the residual graph; the cut's source side is then
+exactly the set of nodes that CANNOT reach a sink (computed by the same
+reachability sweep used for global relabeling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e18)
+
+
+def _shift(x, dy, dx, fill):
+    """x shifted so result[y, x] = x[y+dy, x+dx], out-of-bounds = fill."""
+    out = jnp.roll(x, (-dy, -dx), axis=(0, 1))
+    if dy == 1:
+        out = out.at[-1, :].set(fill)
+    elif dy == -1:
+        out = out.at[0, :].set(fill)
+    if dx == 1:
+        out = out.at[:, -1].set(fill)
+    elif dx == -1:
+        out = out.at[:, 0].set(fill)
+    return out
+
+
+# direction order: 0=right(+x), 1=left(-x), 2=down(+y), 3=up(-y)
+_DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0))
+
+
+def _dist_to_sink(caps, demand, node, n_sweep):
+    """Height field = BFS distance to the nearest sink-demand node through
+    positive-residual edges (global relabel). caps: (4, H, W).
+    Runs to fixpoint (bounded by n_sweep) — truncated distances would
+    make reachable nodes look like source-side."""
+    d0 = jnp.where(demand & node, 0.0, _INF)
+
+    def cond(state):
+        it, d, changed = state
+        return (it < n_sweep) & changed
+
+    def body(state):
+        it, d, _ = state
+        best = d
+        for k, (dy, dx) in enumerate(_DIRS):
+            # can send flow from here toward the neighbor if cap[k] > 0
+            nb = _shift(d, dy, dx, _INF)
+            cand = jnp.where(caps[k] > 0, nb + 1.0, _INF)
+            best = jnp.minimum(best, cand)
+        best = jnp.where(node, best, _INF)
+        return it + 1, best, jnp.any(best < d)
+
+    _, d, _ = jax.lax.while_loop(cond, body, (jnp.array(0), d0,
+                                              jnp.array(True)))
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer", "inner_iters",
+                                             "sweep_iters"))
+def grid_mincut(cap_h: jnp.ndarray, cap_v: jnp.ndarray,
+                excess0: jnp.ndarray, node: jnp.ndarray,
+                max_outer: int = 400, inner_iters: int = 30,
+                sweep_iters: int = 0):
+    """Min cut of the seam grid.
+
+    cap_h: (H, W) capacity between (y, x) and (y, x+1) (last col unused);
+    cap_v: (H, W) capacity between (y, x) and (y+1, x) (last row unused);
+    excess0: signed t-link excess (+source, -sink); node: validity mask.
+
+    Returns source_side (H, W) bool: nodes that cannot reach any sink in
+    the final residual graph (BK what_segment == SOURCE equivalent).
+    """
+    H, W = cap_h.shape
+    if sweep_iters <= 0:
+        sweep_iters = H + W + 4   # grid diameter bounds every BFS
+    nodef = node.astype(jnp.float32)
+    cap_h = cap_h * nodef * _shift(nodef, 0, 1, 0.0)
+    cap_v = cap_v * nodef * _shift(nodef, 1, 0, 0.0)
+    # residual caps per direction
+    caps = jnp.stack([cap_h, _shift(cap_h, 0, -1, 0.0),
+                      cap_v, _shift(cap_v, 1, 0, 0.0)])
+    # direction k's reverse direction index
+    rev = (1, 0, 3, 2)
+
+    e = jnp.where(node, excess0, 0.0)
+
+    def push_phase(state):
+        caps, e, h = state
+        # sequential over 4 directions inside one phase (deterministic)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift(h, dy, dx, _INF)
+            admissible = (e > 0) & (h == h_nb + 1.0) & (caps[k] > 0)
+            flow = jnp.where(admissible, jnp.minimum(e, caps[k]), 0.0)
+            caps = caps.at[k].add(-flow)
+            # reverse capacity grows AT THE RECEIVING node: value shifted
+            # opposite to the push direction
+            caps = caps.at[rev[k]].add(_shift(flow, -dy, -dx, 0.0))
+            e = e - flow + _shift(flow, -dy, -dx, 0.0)
+        # relabel: active nodes with no admissible edge lift to
+        # 1 + min residual neighbor height
+        min_h = _INF * jnp.ones_like(h)
+        adm = jnp.zeros_like(h, dtype=bool)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift(h, dy, dx, _INF)
+            has_cap = caps[k] > 0
+            min_h = jnp.minimum(min_h, jnp.where(has_cap, h_nb, _INF))
+            adm = adm | (has_cap & (h == h_nb + 1.0))
+        lift = (e > 0) & (~adm) & (min_h < _INF)
+        h = jnp.where(lift, min_h + 1.0, h)
+        return caps, e, h
+
+    def outer_body(state):
+        it, caps, e, h, _ = state
+        h = _dist_to_sink(caps, e < 0, node, sweep_iters)
+        caps, e, h = jax.lax.fori_loop(
+            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
+        # progress check: active excess that can still reach a sink
+        d = _dist_to_sink(caps, e < 0, node, sweep_iters)
+        work_left = jnp.any((e > 0) & (d < _INF))
+        return it + 1, caps, e, h, work_left
+
+    def outer_cond(state):
+        it, _, _, _, work_left = state
+        return (it < max_outer) & work_left
+
+    h0 = jnp.where(node, 0.0, _INF)
+    state = (jnp.array(0), caps, e, h0, jnp.array(True))
+    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+
+    # final residual reachability-to-sink: unreachable = source side
+    d = _dist_to_sink(caps, e < 0, node, sweep_iters)
+    return (d >= _INF) & node

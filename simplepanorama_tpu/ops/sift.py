@@ -144,12 +144,18 @@ def _find_candidates(dog: jnp.ndarray, prethresh: float,
 
 def _gather27(dog: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
               x: jnp.ndarray) -> jnp.ndarray:
-    """Gather the 3x3x3 neighborhood around (l, y, x) -> (3,3,3)."""
-    dl = jnp.arange(-1, 2)
-    ll = jnp.clip(l + dl, 0, dog.shape[0] - 1)
-    yy = jnp.clip(y + dl, 0, dog.shape[1] - 1)
-    xx = jnp.clip(x + dl, 0, dog.shape[2] - 1)
-    return dog[ll[:, None, None], yy[None, :, None], xx[None, None, :]]
+    """Gather the 3x3x3 neighborhood around (l, y, x) -> (3,3,3).
+
+    dynamic_slice, NOT advanced indexing: gather-style indexing of the
+    (L, H, W) stack lowers to a per-candidate broadcast of the whole
+    array under vmap on TPU (observed 34 GB allocation); batched
+    dynamic_slice stays a slice. Candidates are interior (layers 1..L-2,
+    border >= 5), so the boundary clamp never shifts a real window.
+    """
+    L, H, W = dog.shape
+    start = (jnp.clip(l - 1, 0, L - 3), jnp.clip(y - 1, 0, H - 3),
+             jnp.clip(x - 1, 0, W - 3))
+    return jax.lax.dynamic_slice(dog, start, (3, 3, 3))
 
 
 def _refine_candidate(dog: jnp.ndarray, lin_idx: jnp.ndarray,
@@ -250,18 +256,22 @@ def _bilinear(stack: jnp.ndarray, l: jnp.ndarray, ys: jnp.ndarray,
               xs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of level ``l`` of a (L, H, W) stack at float coords.
 
-    Indexing the stack with a per-sample scalar layer keeps this a scalar
-    gather — never materializing a per-keypoint image copy.
+    Linearized gather (folding the layer into the row index): multidim
+    advanced indexing with a traced layer lowers to a per-keypoint
+    broadcast of the whole stack under vmap on TPU; a flat gather from
+    the (L*H*W,) view stays a gather.
     """
-    _, H, W = stack.shape
+    L, H, W = stack.shape
+    flat = stack.reshape(-1)
     x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
     fx = jnp.clip(xs - x0, 0.0, 1.0)
     fy = jnp.clip(ys - y0, 0.0, 1.0)
-    v00 = stack[l, y0, x0]
-    v01 = stack[l, y0, x0 + 1]
-    v10 = stack[l, y0 + 1, x0]
-    v11 = stack[l, y0 + 1, x0 + 1]
+    base = l * (H * W) + y0 * W + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + W]
+    v11 = flat[base + W + 1]
     return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
             + (v10 * (1 - fx) + v11 * fx) * fy)
 

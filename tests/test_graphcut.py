@@ -1,0 +1,103 @@
+"""Grid min-cut tests: scipy maximum_flow oracle + seam-shape sanity.
+
+The reference validates nothing here (it trusts the vendored BK library);
+we check that the data-parallel push-relabel reaches the same min-cut
+VALUE as an exact solver on the same graph (ties in the cut set are
+allowed — any minimum cut is a valid seam).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from simplepanorama_tpu.ops.maxflow import grid_mincut
+
+
+def _cut_value(wh, wv, excess, node, source_side):
+    """Cost of the cut induced by ``source_side`` labels."""
+    H, W = wh.shape
+    S = source_side & node
+    T = (~source_side) & node
+    cost = 0.0
+    # grid edges crossing the cut (either direction; capacities symmetric)
+    cross_h = (S[:, :-1] & T[:, 1:]) | (T[:, :-1] & S[:, 1:])
+    cross_h &= node[:, :-1] & node[:, 1:]
+    cost += wh[:, :-1][cross_h].sum()
+    cross_v = (S[:-1, :] & T[1:, :]) | (T[:-1, :] & S[1:, :])
+    cross_v &= node[:-1, :] & node[1:, :]
+    cost += wv[:-1, :][cross_v].sum()
+    # t-links: source cap lost if node on T side, sink cap lost if on S
+    cost += np.where(T, np.maximum(excess, 0), 0).sum()
+    cost += np.where(S, np.maximum(-excess, 0), 0).sum()
+    return float(cost)
+
+
+def _scipy_mincut_value(wh, wv, excess, node, scale=10000):
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_flow
+    H, W = wh.shape
+    n = H * W
+    src, snk = n, n + 1
+    rows, cols, caps = [], [], []
+
+    def add(u, v, c):
+        c = int(round(c * scale))
+        if c > 0:
+            rows.append(u); cols.append(v); caps.append(c)
+
+    for y in range(H):
+        for x in range(W):
+            u = y * W + x
+            if not node[y, x]:
+                continue
+            if x + 1 < W and node[y, x + 1]:
+                add(u, u + 1, wh[y, x]); add(u + 1, u, wh[y, x])
+            if y + 1 < H and node[y + 1, x]:
+                add(u, u + W, wv[y, x]); add(u + W, u, wv[y, x])
+            if excess[y, x] > 0:
+                add(src, u, excess[y, x])
+            elif excess[y, x] < 0:
+                add(u, snk, -excess[y, x])
+    g = csr_matrix((caps, (rows, cols)), shape=(n + 2, n + 2))
+    return maximum_flow(g, src, snk).flow_value / scale
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mincut_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    H, W = 24, 32
+    wh = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    wv = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    # cheap vertical corridor the cut should follow
+    cx = W // 2 + rng.integers(-4, 4)
+    wh[:, cx] *= 0.01
+    node = np.ones((H, W), bool)
+    excess = np.zeros((H, W), np.float32)
+    excess[:, 0] = 5000.0    # source column
+    excess[:, -1] = -5000.0  # sink column
+
+    side = np.asarray(grid_mincut(jnp.asarray(wh), jnp.asarray(wv),
+                                  jnp.asarray(excess), jnp.asarray(node)))
+    ours = _cut_value(wh, wv, excess, node, side)
+    exact = _scipy_mincut_value(wh, wv, excess, node)
+    assert side[:, 0].all() and not side[:, -1].any()
+    assert ours <= exact * 1.02 + 1e-3, f"cut {ours} vs exact {exact}"
+
+
+def test_mincut_irregular_region():
+    rng = np.random.default_rng(3)
+    H, W = 24, 24
+    node = np.zeros((H, W), bool)
+    node[2:-2, 2:-2] = True
+    node[10:14, 10:14] = False  # hole
+    wh = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    wv = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    excess = np.zeros((H, W), np.float32)
+    excess[2, 2:-2] = 5000.0
+    excess[-3, 2:-2] = -5000.0
+    side = np.asarray(grid_mincut(jnp.asarray(wh), jnp.asarray(wv),
+                                  jnp.asarray(excess), jnp.asarray(node)))
+    ours = _cut_value(wh, wv, excess, node, side)
+    exact = _scipy_mincut_value(wh, wv, excess, node)
+    assert side[2, 2:-2].all() and not side[-3, 2:-2].any()
+    assert ours <= exact * 1.02 + 1e-3, f"cut {ours} vs exact {exact}"
