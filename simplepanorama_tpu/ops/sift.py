@@ -119,54 +119,22 @@ def build_pyramid(base: jnp.ndarray, sigma: float, n_layers: int,
 # Extrema detection + refinement (per octave)
 # ---------------------------------------------------------------------------
 
-def _find_candidates(dog: jnp.ndarray, prethresh: float,
-                     budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-``budget`` scale-space extrema of one octave's DoG stack.
+def _dense_refine(dog: jnp.ndarray, n_layers: int, contrast_thresh: float,
+                  edge_thresh: float):
+    """DENSE sub-pixel refinement of the whole DoG stack (OpenCV
+    adjustLocalExtrema math on a 0..255 scale).
 
-    dog: (L+1, H, W) where extrema layers are 1..L-1.
-    Returns (flat_idx (budget,), score (budget,)); score <= 0 marks empty.
-    """
-    ext = jax.lax.reduce_window(
-        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-    mn = jax.lax.reduce_window(
-        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
-    is_max = (dog >= ext) & (dog > prethresh)
-    is_min = (dog <= mn) & (dog < -prethresh)
-    score = jnp.where(is_max | is_min, jnp.abs(dog), 0.0)
-    # only interior layers can host extrema
-    L = dog.shape[0]
-    layer_ok = (jnp.arange(L) >= 1) & (jnp.arange(L) <= L - 2)
-    score = score * layer_ok[:, None, None]
-    flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, budget)
-    return idx, vals
+    TPU-first restructuring: instead of per-candidate neighborhood
+    gathers (which this backend lowers to per-candidate broadcasts of the
+    whole pyramid — 34 GB for 1024 candidates), every derivative, the
+    3x3 closed-form solve, the contrast and the edge test are computed as
+    elementwise stencil maps over (L, H, W) — pure VPU work. Candidates
+    whose quadratic-fit offset exceeds 0.5 would move to a neighboring
+    pixel in OpenCV's loop; here they are rejected, and the neighboring
+    pixel's own fit (computed anyway, densely) takes over — the accepted
+    keypoint set is the fixed point of OpenCV's movement iteration.
 
-
-def _gather27(dog: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
-              x: jnp.ndarray) -> jnp.ndarray:
-    """Gather the 3x3x3 neighborhood around (l, y, x) -> (3,3,3).
-
-    dynamic_slice, NOT advanced indexing: gather-style indexing of the
-    (L, H, W) stack lowers to a per-candidate broadcast of the whole
-    array under vmap on TPU (observed 34 GB allocation); batched
-    dynamic_slice stays a slice. Candidates are interior (layers 1..L-2,
-    border >= 5), so the boundary clamp never shifts a real window.
-    """
-    L, H, W = dog.shape
-    start = (jnp.clip(l - 1, 0, L - 3), jnp.clip(y - 1, 0, H - 3),
-             jnp.clip(x - 1, 0, W - 3))
-    return jax.lax.dynamic_slice(dog, start, (3, 3, 3))
-
-
-def _refine_candidate(dog: jnp.ndarray, lin_idx: jnp.ndarray,
-                      n_layers: int, contrast_thresh: float,
-                      edge_thresh: float):
-    """Closed-form iterative sub-pixel refinement of one candidate
-    (OpenCV adjustLocalExtrema semantics; values are on a 0..255 scale so
-    the 1/255 image-scale factors below match).
-
-    Returns (ok, layer_f, y_f, x_f, response) where *_f are octave-scale
-    float coords and layer_f the interpolated scale coordinate.
+    Returns (ok, x_off, y_off, l_off, response) maps, all (L, H, W).
     """
     L, H, W = dog.shape
     img_scale = 1.0 / 255.0
@@ -174,78 +142,61 @@ def _refine_candidate(dog: jnp.ndarray, lin_idx: jnp.ndarray,
     second_s = img_scale
     cross_s = img_scale * 0.25
 
-    l0 = lin_idx // (H * W)
-    y0 = (lin_idx % (H * W)) // W
-    x0 = lin_idx % W
+    def sh(a, dl=0, dy=0, dx=0):
+        return jnp.roll(a, (-dl, -dy, -dx), axis=(0, 1, 2))
 
-    def step(state):
-        i, l, y, x, X, ok, done = state
-        n = _gather27(dog, l, y, x)
-        dD = jnp.array([
-            (n[1, 1, 2] - n[1, 1, 0]) * deriv_s,
-            (n[1, 2, 1] - n[1, 0, 1]) * deriv_s,
-            (n[2, 1, 1] - n[0, 1, 1]) * deriv_s,
-        ])
-        dxx = (n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]) * second_s
-        dyy = (n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]) * second_s
-        dss = (n[2, 1, 1] + n[0, 1, 1] - 2 * n[1, 1, 1]) * second_s
-        dxy = (n[1, 2, 2] - n[1, 2, 0] - n[1, 0, 2] + n[1, 0, 0]) * cross_s
-        dxs = (n[2, 1, 2] - n[2, 1, 0] - n[0, 1, 2] + n[0, 1, 0]) * cross_s
-        dys = (n[2, 2, 1] - n[2, 0, 1] - n[0, 2, 1] + n[0, 0, 1]) * cross_s
-        Hm = jnp.array([[dxx, dxy, dxs],
-                        [dxy, dyy, dys],
-                        [dxs, dys, dss]])
-        # guarded 3x3 solve: X = -H^-1 dD
-        det = jnp.linalg.det(Hm)
-        Hm_safe = jnp.where(jnp.abs(det) < 1e-20, jnp.eye(3), Hm)
-        Xn = -jnp.linalg.solve(Hm_safe, dD)
-        Xn = jnp.where(jnp.abs(det) < 1e-20, jnp.zeros(3), Xn)
-        converged = jnp.all(jnp.abs(Xn) < 0.5)
-        diverged = jnp.any(jnp.abs(Xn) > 10.0)  # float-overflow guard
-        nl = jnp.clip(l + jnp.round(Xn[2]).astype(jnp.int32), 0, L - 1)
-        ny = y + jnp.round(Xn[1]).astype(jnp.int32)
-        nx = x + jnp.round(Xn[0]).astype(jnp.int32)
-        in_bounds = ((nl >= 1) & (nl <= n_layers)
-                     & (ny >= _IMG_BORDER) & (ny < H - _IMG_BORDER)
-                     & (nx >= _IMG_BORDER) & (nx < W - _IMG_BORDER))
-        new_done = done | converged | diverged | (~in_bounds)
-        new_ok = jnp.where(done, ok, converged & in_bounds & (~diverged))
-        keep = done | converged
-        return (i + 1,
-                jnp.where(keep, l, nl), jnp.where(keep, y, ny),
-                jnp.where(keep, x, nx),
-                jnp.where(done, X, Xn), new_ok, new_done)
+    d = dog
+    dDx = (sh(d, 0, 0, 1) - sh(d, 0, 0, -1)) * deriv_s
+    dDy = (sh(d, 0, 1, 0) - sh(d, 0, -1, 0)) * deriv_s
+    dDs = (sh(d, 1, 0, 0) - sh(d, -1, 0, 0)) * deriv_s
+    dxx = (sh(d, 0, 0, 1) + sh(d, 0, 0, -1) - 2 * d) * second_s
+    dyy = (sh(d, 0, 1, 0) + sh(d, 0, -1, 0) - 2 * d) * second_s
+    dss = (sh(d, 1, 0, 0) + sh(d, -1, 0, 0) - 2 * d) * second_s
+    dxy = (sh(d, 0, 1, 1) - sh(d, 0, 1, -1)
+           - sh(d, 0, -1, 1) + sh(d, 0, -1, -1)) * cross_s
+    dxs = (sh(d, 1, 0, 1) - sh(d, 1, 0, -1)
+           - sh(d, -1, 0, 1) + sh(d, -1, 0, -1)) * cross_s
+    dys = (sh(d, 1, 1, 0) - sh(d, 1, -1, 0)
+           - sh(d, -1, 1, 0) + sh(d, -1, -1, 0)) * cross_s
 
-    init = (0, l0, y0, x0, jnp.zeros(3), jnp.array(False), jnp.array(False))
-    state = init
-    for _ in range(_MAX_INTERP_STEPS):
-        state = jax.lax.cond(state[6], lambda s: s, step, state)
-    _, l, y, x, X, ok, _ = state
+    # closed-form 3x3 solve X = -H^-1 dD via cofactors (elementwise)
+    c00 = dyy * dss - dys * dys
+    c01 = dxs * dys - dxy * dss
+    c02 = dxy * dys - dxs * dyy
+    c11 = dxx * dss - dxs * dxs
+    c12 = dxy * dxs - dxx * dys
+    c22 = dxx * dyy - dxy * dxy
+    det = dxx * c00 + dxy * c01 + dxs * c02
+    safe = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    x_off = -(c00 * dDx + c01 * dDy + c02 * dDs) / safe
+    y_off = -(c01 * dDx + c11 * dDy + c12 * dDs) / safe
+    l_off = -(c02 * dDx + c12 * dDy + c22 * dDs) / safe
+    bad_det = jnp.abs(det) < 1e-20
+    x_off = jnp.where(bad_det, 0.0, x_off)
+    y_off = jnp.where(bad_det, 0.0, y_off)
+    l_off = jnp.where(bad_det, 0.0, l_off)
 
-    # contrast response at the refined point
-    n = _gather27(dog, l, y, x)
-    dD = jnp.array([
-        (n[1, 1, 2] - n[1, 1, 0]) * deriv_s,
-        (n[1, 2, 1] - n[1, 0, 1]) * deriv_s,
-        (n[2, 1, 1] - n[0, 1, 1]) * deriv_s,
-    ])
-    contr = n[1, 1, 1] * img_scale + 0.5 * jnp.dot(dD, X)
-    ok = ok & (jnp.abs(contr) * n_layers >= contrast_thresh)
+    converged = ((jnp.abs(x_off) < 0.5) & (jnp.abs(y_off) < 0.5)
+                 & (jnp.abs(l_off) < 0.5)) & (~bad_det)
 
-    # edge response: 2x2 spatial Hessian
-    dxx = (n[1, 1, 2] + n[1, 1, 0] - 2 * n[1, 1, 1]) * second_s
-    dyy = (n[1, 2, 1] + n[1, 0, 1] - 2 * n[1, 1, 1]) * second_s
-    dxy = (n[1, 2, 2] - n[1, 2, 0] - n[1, 0, 2] + n[1, 0, 0]) * cross_s
+    contr = d * img_scale + 0.5 * (dDx * x_off + dDy * y_off + dDs * l_off)
+    contrast_ok = jnp.abs(contr) * n_layers >= contrast_thresh
+
     tr = dxx + dyy
     det2 = dxx * dyy - dxy * dxy
     r = edge_thresh
-    ok = ok & (det2 > 0) & (tr * tr * r < (r + 1) * (r + 1) * det2)
+    edge_ok = (det2 > 0) & (tr * tr * r < (r + 1) * (r + 1) * det2)
 
-    return (ok,
-            l.astype(jnp.float32) + X[2],
-            y.astype(jnp.float32) + X[1],
-            x.astype(jnp.float32) + X[0],
-            jnp.abs(contr))
+    # interior-only (stencil wraps at borders; border is masked anyway)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (L, H, W), 0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (L, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (L, H, W), 2)
+    interior = ((ll >= 1) & (ll <= n_layers)
+                & (yy >= _IMG_BORDER) & (yy < H - _IMG_BORDER)
+                & (xx >= _IMG_BORDER) & (xx < W - _IMG_BORDER))
+
+    ok = converged & contrast_ok & edge_ok & interior
+    return ok, x_off, y_off, l_off, jnp.abs(contr), interior
 
 
 # ---------------------------------------------------------------------------
@@ -461,18 +412,67 @@ def extract_sift(img_gray: jnp.ndarray,
 
     for o in range(n_oct):
         dog = dogs[o]
-        idx, score = _find_candidates(dog, prethresh, min(
-            budget, int(np.prod(dog.shape))))
-        pad = budget - idx.shape[0]
+        L, Ho, Wo = dog.shape
+        ext = jax.lax.reduce_window(
+            dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        mn = jax.lax.reduce_window(
+            dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+        is_ext = ((dog >= ext) & (dog > prethresh)) \
+            | ((dog <= mn) & (dog < -prethresh))
+
+        (ok_map, xo_map, yo_map, lo_map, resp_map,
+         interior_map) = _dense_refine(dog, n_layers, contrast_thresh,
+                                       edge_thresh)
+        # candidate pool: top-k extremum pixels by raw |DoG| response;
+        # refinement values come from the dense maps via flat gathers
+        # (never a vmapped pyramid access — see _dense_refine docstring)
+        score0 = jnp.where(is_ext & interior_map,
+                           jnp.abs(dog), 0.0).reshape(-1)
+        k = min(budget, score0.shape[0])
+        vals0, idx = jax.lax.top_k(score0, k)
+        pad = budget - k
         if pad > 0:
             idx = jnp.pad(idx, (0, pad))
-            score = jnp.pad(score, (0, pad))
-        ok0 = score > 0
+            vals0 = jnp.pad(vals0, (0, pad))
+        cand = vals0 > 0
 
-        ok, l_f, y_f, x_f, resp = jax.vmap(
-            lambda i: _refine_candidate(dog, i, n_layers,
-                                        contrast_thresh, edge_thresh))(idx)
-        ok = ok & ok0
+        xo_f = xo_map.reshape(-1)
+        yo_f = yo_map.reshape(-1)
+        lo_f = lo_map.reshape(-1)
+        ok_f = ok_map.reshape(-1)
+        resp_f = resp_map.reshape(-1)
+        int_f = interior_map.reshape(-1)
+
+        # OpenCV's movement iteration (adjustLocalExtrema): step to the
+        # neighboring pixel/layer when the quadratic fit lands outside
+        # +-0.5, re-reading the dense fit at the new location
+        l_i = idx // (Ho * Wo)
+        y_i = (idx % (Ho * Wo)) // Wo
+        x_i = idx % Wo
+        done = jnp.zeros_like(cand)
+        for _ in range(_MAX_INTERP_STEPS):
+            lin = l_i * (Ho * Wo) + y_i * Wo + x_i
+            xo = xo_f[lin]
+            yo = yo_f[lin]
+            lo = lo_f[lin]
+            conv = (jnp.abs(xo) < 0.5) & (jnp.abs(yo) < 0.5) \
+                & (jnp.abs(lo) < 0.5)
+            step_ok = int_f[lin] & (~done)
+            move = step_ok & (~conv)
+            l_i = jnp.where(move, jnp.clip(
+                l_i + jnp.round(lo).astype(jnp.int32), 0, L - 1), l_i)
+            y_i = jnp.where(move, jnp.clip(
+                y_i + jnp.round(yo).astype(jnp.int32), 0, Ho - 1), y_i)
+            x_i = jnp.where(move, jnp.clip(
+                x_i + jnp.round(xo).astype(jnp.int32), 0, Wo - 1), x_i)
+            done = done | conv | (~int_f[lin])
+
+        lin = l_i * (Ho * Wo) + y_i * Wo + x_i
+        ok = cand & ok_f[lin]
+        l_f = l_i.astype(jnp.float32) + lo_f[lin]
+        y_f = y_i.astype(jnp.float32) + yo_f[lin]
+        x_f = x_i.astype(jnp.float32) + xo_f[lin]
+        resp = resp_f[lin]
         scale_mult = 2.0 ** (o + first_octave)
         x_img = x_f * scale_mult
         y_img = y_f * scale_mult
