@@ -93,13 +93,22 @@ def grid_mincut(cap_h: jnp.ndarray, cap_v: jnp.ndarray,
     nodef = node.astype(jnp.float32)
     cap_h = cap_h * nodef * _shift(nodef, 0, 1, 0.0)
     cap_v = cap_v * nodef * _shift(nodef, 1, 0, 0.0)
-    # residual caps per direction
+    # residual caps per direction: caps[k][p] = capacity from p toward its
+    # k-neighbor. Left/up edges live at the neighbor's index in
+    # cap_h/cap_v, hence the -1 shifts.
     caps = jnp.stack([cap_h, _shift(cap_h, 0, -1, 0.0),
-                      cap_v, _shift(cap_v, 1, 0, 0.0)])
+                      cap_v, _shift(cap_v, -1, 0, 0.0)])
     # direction k's reverse direction index
     rev = (1, 0, 3, 2)
 
     e = jnp.where(node, excess0, 0.0)
+    # clamp t-link magnitudes to (sum of incident edge caps + 1): a t-link
+    # at least as large as everything the node can move is never the
+    # bottleneck, so the min cut is unchanged — and it keeps every value
+    # O(edge weight), which f32 needs (5000-scale seeds next to 0.1-scale
+    # flows lose the flows to cancellation)
+    cap_sum = caps.sum(axis=0) + 1.0
+    e = jnp.clip(e, -cap_sum, cap_sum)
 
     def push_phase(state):
         caps, e, h = state

@@ -64,10 +64,10 @@ def _boundary(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _compute_cut(img1: jnp.ndarray, img2: jnp.ndarray,
-                 mask1: jnp.ndarray, mask2: jnp.ndarray) -> jnp.ndarray:
-    """One seam cut; all inputs (H, W) on the 0..255 scale. Returns the
-    new element mask (bool)."""
+def _build_cut_graph(img1: jnp.ndarray, img2: jnp.ndarray,
+                     mask1: jnp.ndarray, mask2: jnp.ndarray):
+    """Edge weights + seeds of one seam cut; inputs (H, W), 0..255
+    scale. Returns (cap_h, cap_v, excess, node)."""
     obj = (mask1 > 0) & (mask2 > 0)
     A = jnp.abs(img1 - img2)
     g1x, g1y = _scharr(img1)
@@ -87,9 +87,25 @@ def _compute_cut(img1: jnp.ndarray, img2: jnp.ndarray,
     cont_elem = _boundary(mask2) & obj
     excess = _SEED_W * cont_scene.astype(jnp.float32) \
         - _SEED_W * (cont_elem & ~cont_scene).astype(jnp.float32)
+    return wh, wv, excess, obj
 
-    source_side = grid_mincut(wh, wv, excess, obj)
-    return jnp.where(obj, source_side, mask2 > 0)
+
+def _solve_cut(wh, wv, excess, obj, mask2):
+    """Min-cut dispatch: data-parallel push-relabel on an accelerator,
+    the native Dinic backend on host CPU (the reference's BK slot)."""
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        from simplepanorama_tpu.native import grid_mincut_native
+        try:
+            side, _ = grid_mincut_native(
+                np.asarray(wh), np.asarray(wv), np.asarray(excess),
+                np.asarray(obj))
+            side = jnp.asarray(side)
+        except Exception:
+            side = grid_mincut(wh, wv, excess, obj)
+    else:
+        side = grid_mincut(wh, wv, excess, obj)
+    return jnp.where(obj, side, mask2 > 0)
 
 
 def graph_cut(images: Sequence[np.ndarray],
@@ -132,10 +148,11 @@ def graph_cut(images: Sequence[np.ndarray],
         h, w = sizes[s]
         pano_roi = pano[y0:y0 + h, x0:x0 + w]
         scene_roi = scene[y0:y0 + h, x0:x0 + w]
-        cut = np.asarray(_compute_cut(
+        m2 = jnp.asarray(out[s].astype(np.float32) * 255)
+        graph = _build_cut_graph(
             jnp.asarray(pano_roi), jnp.asarray(grays[s]),
-            jnp.asarray(scene_roi.astype(np.float32) * 255),
-            jnp.asarray(out[s].astype(np.float32) * 255)))
+            jnp.asarray(scene_roi.astype(np.float32) * 255), m2)
+        cut = np.asarray(_solve_cut(*graph, m2))
         out[s] = cut
         pano_roi[cut] = grays[s][cut]
         scene_roi |= cut

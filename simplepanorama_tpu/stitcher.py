@@ -52,6 +52,9 @@ class StitchParams:
     seam_masks: Optional[List[np.ndarray]] = None
     gains: Optional[np.ndarray] = None
     intensity_fields: Optional[List[np.ndarray]] = None
+    # ((ansatz_x, ansatz_y) in centered coords, radius_px) when the
+    # stereographic center fix ran (sten_proj state, _panorama.cpp:103-124)
+    sten_circle: Optional[tuple] = None
 
 
 def set_config(res: StitchResult, images: Sequence[np.ndarray],
@@ -127,8 +130,16 @@ def render_preview(params: StitchParams, cfg: Config) -> np.ndarray:
         imgs = [im / g for im, g in zip(imgs, params.gains)]
     if cfg.blend_intensity and params.intensity_fields is not None:
         imgs = expo.adjust_intensity(imgs, params.intensity_fields)
-    return _blend_dispatch(params, cfg, list(imgs), params.masks,
-                           params.seam_masks, params.corners)
+    out = _blend_dispatch(params, cfg, list(imgs), params.masks,
+                          params.seam_masks, params.corners)
+    if params.sten_circle is not None:
+        from simplepanorama_tpu.render import sten_fix
+        from simplepanorama_tpu.geometry.canvas import get_pan_dimension
+        (ax, ay), r = params.sten_circle
+        d = get_pan_dimension(params.corners,
+                              [im.shape[:2] for im in params.imgs])
+        out = sten_fix.inpaint_center(out, (ax - d.min_x, ay - d.min_y), r)
+    return out
 
 
 def render_full(params: StitchParams, cfg: Config,

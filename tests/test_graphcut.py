@@ -101,3 +101,24 @@ def test_mincut_irregular_region():
     exact = _scipy_mincut_value(wh, wv, excess, node)
     assert side[2, 2:-2].all() and not side[-3, 2:-2].any()
     assert ours <= exact * 1.02 + 1e-3, f"cut {ours} vs exact {exact}"
+
+
+def test_native_matches_jax_mincut():
+    """The C++ Dinic backend and the TPU push-relabel kernel must find
+    min cuts of equal value on the same graph."""
+    from simplepanorama_tpu.native import grid_mincut_native
+    rng = np.random.default_rng(7)
+    H, W = 24, 32
+    wh = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    wv = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    node = np.ones((H, W), bool)
+    excess = np.zeros((H, W), np.float32)
+    excess[:, 0] = 5000.0
+    excess[:, -1] = -5000.0
+    side_n, flow = grid_mincut_native(wh, wv, excess, node)
+    side_j = np.asarray(grid_mincut(jnp.asarray(wh), jnp.asarray(wv),
+                                    jnp.asarray(excess), jnp.asarray(node)))
+    v_n = _cut_value(wh, wv, excess, node, side_n)
+    v_j = _cut_value(wh, wv, excess, node, side_j)
+    assert abs(v_n - flow) < 1e-2 * max(1.0, flow)
+    assert abs(v_j - v_n) <= 0.02 * v_n + 1e-3
