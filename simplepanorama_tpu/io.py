@@ -127,3 +127,38 @@ def save_image(path: str, img: np.ndarray) -> bool:
     """imwrite wrapper (PNG/JPEG by extension, like the viewer's Save)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     return bool(cv2.imwrite(str(path), img))
+
+
+def resize_to_thumbnail(img: np.ndarray, size: int = 250) -> np.ndarray:
+    """Pad-to-square thumbnail (imgm::resize_image,
+    /root/reference/src/math/_img_manipulation.cpp:87-113): scale the long
+    side to ``size``, pad the short side symmetrically with black."""
+    h, w = img.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    small = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+    top = (size - nh) // 2
+    left = (size - nw) // 2
+    out = np.zeros((size, size) + img.shape[2:], img.dtype)
+    out[top:top + nh, left:left + nw] = small
+    return out
+
+
+def cylinder_prewarp(img: np.ndarray, focal: float,
+                     center: Optional[tuple] = None) -> np.ndarray:
+    """Legacy cylindrical pre-warp (images::images_to_cylinder ->
+    imgm::project, /root/reference/src/classes/_image.cpp:168-191):
+    inverse-map each output pixel through x = f*tan((u-cx)/f),
+    y = (v-cy)*sqrt(x^2+f^2)/f around the image center."""
+    h, w = img.shape[:2]
+    cx = w / 2 if center is None else center[0]
+    cy = h / 2 if center is None else center[1]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    theta = (u - cx) / focal
+    x = focal * np.tan(theta)
+    y = (v - cy) * np.sqrt(x * x + focal * focal) / focal
+    map_x = (x + cx).astype(np.float32)
+    map_y = (y + cy).astype(np.float32)
+    return cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_CONSTANT)

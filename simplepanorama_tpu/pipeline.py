@@ -119,3 +119,32 @@ class Panorama:
         x0 = max(0, int(x * sx)); y0 = max(0, int(y * sy))
         x1 = min(fw, int((x + w) * sx)); y1 = min(fh, int((y + h) * sy))
         return self._full_pano[y0:y1, x0:x1]
+
+
+def diagnose(paths, config: Optional[Config] = None) -> dict:
+    """Single-threaded inspection run (panorama::test,
+    /root/reference/src/classes/_panorama.cpp:572-609): load -> keypoints ->
+    match -> adjacency, returning the intermediate tables for debugging."""
+    from simplepanorama_tpu.io import ImageSet
+    from simplepanorama_tpu.features import extract_features
+    from simplepanorama_tpu.adjacency import build_adjacency
+    from simplepanorama_tpu.geometry.graph import connected_components
+    from simplepanorama_tpu.geometry.focal import focal_from_hom
+
+    cfg = config or Config()
+    images = ImageSet(paths)
+    images.load_resized(cfg.init_size, threads=1)
+    feats = extract_features(images.img_data, cfg)
+    sizes = [im.shape[:2] for im in images.img_data]
+    adjres = build_adjacency(feats, sizes, cfg)
+    comps = connected_components(adjres.adj)
+    focal = focal_from_hom(adjres.hom_mat, adjres.adj)
+    return {
+        "n_images": len(images.img_data),
+        "keypoint_counts": [f.count for f in feats],
+        "raw_match_counts": adjres.raw_counts,
+        "adjacency": adjres.adj,
+        "hom_mat": adjres.hom_mat,
+        "components": [c.nodes for c in comps],
+        "focal_estimate": focal,
+    }
