@@ -91,3 +91,33 @@ def test_sift_matches_cv2_on_real_pair(map_images):
     # translation direction must match the known layout (x shift ~195px)
     H = np.array(H)
     assert 150 < H[0, 2] / H[2, 2] < 250
+
+
+def test_gftt_detects_corners():
+    from simplepanorama_tpu.ops.gftt import gftt_detect
+    img = np.zeros((96, 96), np.float32)
+    img[20:60, 30:70] = 200.0   # rectangle -> 4 strong corners
+    import scipy.ndimage as ndi
+    img = ndi.gaussian_filter(img, 1.0)
+    xy, resp, valid = gftt_detect(jnp.asarray(img), jnp.array([96, 96]),
+                                  max_corners=16)
+    pts = np.asarray(xy)[np.asarray(valid)]
+    for cx, cy in [(30, 20), (69, 20), (30, 59), (69, 59)]:
+        d = np.linalg.norm(pts - np.array([cx, cy]), axis=1).min()
+        assert d < 3.0, f"corner ({cx},{cy}) missed by {d:.1f}px"
+
+
+def test_gftt_sift_descriptors_match_across_shift():
+    from simplepanorama_tpu.ops.gftt import gftt_sift
+    rng = np.random.default_rng(9)
+    import scipy.ndimage as ndi
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (128, 160)).astype(np.float32), 2.0) * 4
+    a = base[:, :128]
+    b = base[:, 24:152]   # 24px shift
+    fa = gftt_sift(jnp.asarray(a.copy()), jnp.array([128, 128]), max_corners=128)
+    fb = gftt_sift(jnp.asarray(b.copy()), jnp.array([128, 128]), max_corners=128)
+    da = np.asarray(fa.desc)[np.asarray(fa.valid)]
+    db = np.asarray(fb.desc)[np.asarray(fb.valid)]
+    sims = da @ db.T
+    assert (sims.max(1) > 0.9).mean() > 0.4
