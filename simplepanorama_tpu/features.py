@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from simplepanorama_tpu.config import Config
-from simplepanorama_tpu.ops.sift import extract_sift
+from simplepanorama_tpu.ops.sift import extract_sift, extract_sift_batch
 
 
 @dataclasses.dataclass
@@ -70,35 +70,46 @@ def extract_features(images: Sequence[np.ndarray],
     """
     if not images:
         return []
+    if cancelled is not None and cancelled():
+        raise RuntimeError("Process canceled")
     K = cfg.sift_max_features()
     Hm = max(im.shape[0] for im in images)
     Wm = max(im.shape[1] for im in images)
     Hp = (Hm + 7) // 8 * 8
     Wp = (Wm + 7) // 8 * 8
 
-    out: List[Features] = []
     n = len(images)
-    for im in images:
-        if cancelled is not None and cancelled():
-            raise RuntimeError("Process canceled")
+    batch = np.zeros((n, Hp, Wp, 3), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    for i, im in enumerate(images):
         h, w = im.shape[:2]
-        g = _pad_to(_to_gray(im), Hp, Wp)
-        f = extract_sift(
-            jnp.asarray(g), jnp.array([h, w], jnp.int32),
-            max_kp=K,
-            n_layers=cfg.nOctaveLayers,
-            contrast_thresh=float(cfg.contrastThreshold),
-            edge_thresh=float(cfg.edgeThreshold),
-            sigma=float(cfg.sigma_sift))
-        xy = np.array(f.xy)
+        batch[i] = np.pad(im, ((0, Hp - h), (0, Wp - w), (0, 0)),
+                          mode="edge")
+        hw[i] = (h, w)
+
+    fb = extract_sift_batch(
+        jnp.asarray(batch), jnp.asarray(hw),
+        max_kp=K,
+        n_layers=cfg.nOctaveLayers,
+        contrast_thresh=float(cfg.contrastThreshold),
+        edge_thresh=float(cfg.edgeThreshold),
+        sigma=float(cfg.sigma_sift))
+    xy_all = np.array(fb.xy)
+    size_all = np.asarray(fb.size)
+    resp_all = np.asarray(fb.response)
+    desc_all = np.asarray(fb.desc)
+    valid_all = np.asarray(fb.valid)
+
+    out: List[Features] = []
+    for i, im in enumerate(images):
+        h, w = im.shape[:2]
+        xy = xy_all[i]
         # center-origin shift with integer halves (reference convention)
         xy[:, 0] -= w // 2
         xy[:, 1] -= h // 2
-        valid = np.asarray(f.valid)
-        xy[~valid] = 0.0
-        out.append(Features(
-            xy=xy, size=np.asarray(f.size), response=np.asarray(f.response),
-            desc=np.asarray(f.desc), valid=valid))
+        xy[~valid_all[i]] = 0.0
+        out.append(Features(xy=xy, size=size_all[i], response=resp_all[i],
+                            desc=desc_all[i], valid=valid_all[i]))
         if progress is not None:
             progress(1.0 / n)
     return out

@@ -157,6 +157,22 @@ def warp_backward(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
     return out, inb
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "out_h", "out_w",
+                                             "erode_iters"))
+def warp_backward_batch(imgs, K_adjs, Rs, corners, scale,
+                        kind: str, out_h: int, out_w: int,
+                        valid_hws, erode_iters: int = 4):
+    """All images warped in ONE dispatch (lax.map over the batch), with
+    footprint masks eroded on-device."""
+    def one(args):
+        img, Ka, R, corner, vhw = args
+        warped, mask = warp_backward(img, Ka, R, corner, scale, kind,
+                                     out_h, out_w, vhw)
+        return warped, erode_mask(mask, iters=erode_iters)
+
+    return jax.lax.map(one, (imgs, K_adjs, Rs, corners, valid_hws))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def erode_mask(mask: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """3x3 min-pool erosion, outside-is-black border handling
@@ -201,24 +217,32 @@ def get_proj_parameters(kind: str, scale: float,
     Hs = max(im.shape[0] for im in images)
     Ws = max(im.shape[1] for im in images)
 
-    imgs_out, masks_out, corners = [], [], []
-    for i in sel:
+    n = len(sel)
+    imgs_b = np.zeros((n, Hs, Ws, 3), np.float32)
+    Ka_b = np.zeros((n, 3, 3), np.float32)
+    R_b = np.zeros((n, 3, 3), np.float32)
+    c_b = np.zeros((n, 2), np.float32)
+    hw_b = np.zeros((n, 2), np.int32)
+    for b, i in enumerate(sel):
         im = images[i].astype(np.float32)
         h, w = im.shape[:2]
-        imp = np.pad(im, ((0, Hs - h), (0, Ws - w), (0, 0)))
+        imgs_b[b, :h, :w] = im
+        Ka_b[b] = adjusted_K(Ks[i], h, w)
+        R_b[b] = np.asarray(Rs[i], np.float32)
+        c_b[b] = (rois[i][0], rois[i][1])
+        hw_b[b] = (h, w)
+
+    warped_b, mask_b = warp_backward_batch(
+        jnp.asarray(imgs_b), jnp.asarray(Ka_b), jnp.asarray(R_b),
+        jnp.asarray(c_b), float(scale), kind, out_h, out_w,
+        jnp.asarray(hw_b), erode_iters=4 if get_masks else 1)
+    warped_b = np.asarray(warped_b)
+    mask_b = np.asarray(mask_b)
+
+    imgs_out, masks_out, corners = [], [], []
+    for b, i in enumerate(sel):
         tlx, tly, rw, rh = rois[i]
-        Ka = adjusted_K(Ks[i], h, w)
-        warped, mask = warp_backward(
-            jnp.asarray(imp), jnp.asarray(Ka.astype(np.float32)),
-            jnp.asarray(np.asarray(Rs[i], np.float32)),
-            jnp.asarray(np.array([tlx, tly], np.float32)),
-            float(scale), kind, out_h, out_w,
-            jnp.asarray(np.array([h, w], np.int32)))
-        if get_masks:
-            mask = erode_mask(mask, iters=4)
-        wnp = np.asarray(warped)[:rh, :rw]
-        mnp = np.asarray(mask)[:rh, :rw]
-        imgs_out.append(wnp)
-        masks_out.append(mnp)
+        imgs_out.append(warped_b[b, :rh, :rw])
+        masks_out.append(mask_b[b, :rh, :rw])
         corners.append((tlx, tly))
     return ProjData(imgs=imgs_out, masks=masks_out, corners=corners)
