@@ -85,13 +85,21 @@ def equalize_intensities(images: Sequence[np.ndarray],
     from simplepanorama_tpu.render.blending import pack_blocks
     import cv2
     n = len(images)
+    # one batched EDT dispatch over common-padded masks
+    Hb = max(m.shape[0] for m in masks)
+    Wb = max(m.shape[1] for m in masks)
+    mk_b = np.zeros((n, Hb, Wb), bool)
+    for i, m in enumerate(masks):
+        mk_b[i, :m.shape[0], :m.shape[1]] = np.asarray(m) > 0
+    dt_b = np.asarray(jax.vmap(distance_transform)(jnp.asarray(mk_b))) / 255.0
+
     grays, msk_small, dts, corners_s = [], [], [], []
-    for im, mk, (tx, ty) in zip(images, masks, corners):
+    for i, (im, mk, (tx, ty)) in enumerate(zip(images, masks, corners)):
         g = (0.114 * im[..., 0] + 0.587 * im[..., 1]
              + 0.299 * im[..., 2]) / 255.0
         gs = _resize_half(g)
         ms = _resize_half(np.asarray(mk, np.float32))
-        dt = np.asarray(distance_transform(jnp.asarray(mk) > 0)) / 255.0
+        dt = dt_b[i, :mk.shape[0], :mk.shape[1]]
         dts.append(_resize_half(dt))
         grays.append(np.where(ms > 0.5, gs, 0.0))
         msk_small.append(ms > 0.5)

@@ -106,6 +106,12 @@ def roi_for_image(kind: str, scale: float, R: np.ndarray, K: np.ndarray,
     u, v = fwd(rays[:, 0], rays[:, 1], rays[:, 2], np)
     u = u * scale
     v = v * scale
+    # 360-degree seam: an image straddling u = +-pi*scale produces a
+    # full-circle bbox; unwrap to [0, 2pi) instead (the backward map is
+    # periodic in u, so any contiguous branch is valid)
+    if kind in ("spherical", "cylindrical") \
+            and u.max() - u.min() > np.pi * scale:
+        u = np.mod(u, 2 * np.pi * scale)
     tl_x = int(np.floor(u.min()))
     tl_y = int(np.floor(v.min()))
     br_x = int(np.ceil(u.max()))
