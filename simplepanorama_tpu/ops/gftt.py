@@ -90,13 +90,15 @@ def gftt_sift(img_gray: jnp.ndarray, valid_hw: jnp.ndarray,
     (the alt path computes SIFT descriptors on size-less keypoints)."""
     xy, resp, valid = gftt_detect(img_gray, valid_hw,
                                   max_corners=max_corners)
-    stack = _blur(img_gray, 1.0)[None]          # single-level "pyramid"
+    H, W = img_gray.shape
+    flat = _blur(img_gray, 1.0).reshape(-1)      # single-level "pyramid"
     zeros = jnp.zeros_like(xy[:, 0], jnp.int32)
 
     def per_kp(x, y, l):
+        pyr = (flat, 0, H, W)
         so = jnp.asarray(patch_scale, jnp.float32)
-        a = _orientation(stack, l, y, x, so)
-        d = _descriptor(stack, l, y, x, so, a)
+        a = _orientation(pyr, l, y, x, so)
+        d = _descriptor(pyr, l, y, x, so, a)
         return d
 
     desc = jax.vmap(per_kp)(xy[:, 0], xy[:, 1], zeros)

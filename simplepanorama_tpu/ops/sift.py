@@ -203,22 +203,23 @@ def _dense_refine(dog: jnp.ndarray, n_layers: int, contrast_thresh: float,
 # Canonical-grid sampling helpers
 # ---------------------------------------------------------------------------
 
-def _bilinear(stack: jnp.ndarray, l: jnp.ndarray, ys: jnp.ndarray,
+def _bilinear(pyr, l: jnp.ndarray, ys: jnp.ndarray,
               xs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of level ``l`` of a (L, H, W) stack at float coords.
+    """Bilinear sample of level ``l`` of one octave inside a FLAT pyramid.
 
-    Linearized gather (folding the layer into the row index): multidim
-    advanced indexing with a traced layer lowers to a per-keypoint
-    broadcast of the whole stack under vmap on TPU; a flat gather from
-    the (L*H*W,) view stays a gather.
+    ``pyr`` = (flat (T,), off, H, W) — off/H/W are (possibly traced)
+    per-keypoint scalars selecting the octave. Flat 1-D gathers are the
+    only pyramid access pattern this backend lowers efficiently (multidim
+    indexing or per-octave stacks broadcast the operand under vmap), and
+    a single flat buffer lets ONE vmapped pass serve keypoints of every
+    octave — no per-octave recompute.
     """
-    L, H, W = stack.shape
-    flat = stack.reshape(-1)
+    flat, off, H, W = pyr
     x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
     fx = jnp.clip(xs - x0, 0.0, 1.0)
     fy = jnp.clip(ys - y0, 0.0, 1.0)
-    base = l * (H * W) + y0 * W + x0
+    base = off + l * (H * W) + y0 * W + x0
     v00 = flat[base]
     v01 = flat[base + 1]
     v10 = flat[base + W]
@@ -227,16 +228,15 @@ def _bilinear(stack: jnp.ndarray, l: jnp.ndarray, ys: jnp.ndarray,
             + (v10 * (1 - fx) + v11 * fx) * fy)
 
 
-def _grad_at(stack: jnp.ndarray, l: jnp.ndarray, ys: jnp.ndarray,
-             xs: jnp.ndarray):
+def _grad_at(pyr, l: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     """Central-difference gradient, bilinearly sampled: (gx, gy)."""
-    gx = _bilinear(stack, l, ys, xs + 1.0) - _bilinear(stack, l, ys, xs - 1.0)
-    gy = _bilinear(stack, l, ys - 1.0, xs) - _bilinear(stack, l, ys + 1.0, xs)
+    gx = _bilinear(pyr, l, ys, xs + 1.0) - _bilinear(pyr, l, ys, xs - 1.0)
+    gy = _bilinear(pyr, l, ys - 1.0, xs) - _bilinear(pyr, l, ys + 1.0, xs)
     # note: OpenCV uses dy = I(y-1) - I(y+1) (upward-positive), kept here
     return gx, gy
 
 
-def _orientation(stack: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
+def _orientation(pyr, l: jnp.ndarray, y: jnp.ndarray,
                  x: jnp.ndarray, scl_octv: jnp.ndarray) -> jnp.ndarray:
     """Dominant gradient orientation (degrees, [0, 360)).
 
@@ -250,7 +250,7 @@ def _orientation(stack: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
     radius = _ORI_RADIUS * scl_octv
     ys = y + offs[:, 0] * radius
     xs = x + offs[:, 1] * radius
-    dx, dy = _grad_at(stack, l, ys, xs)
+    dx, dy = _grad_at(pyr, l, ys, xs)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.degrees(jnp.arctan2(dy, dx)) % 360.0
     # Gaussian weight with sigma = 1.5 * scl_octv over true distance
@@ -316,7 +316,7 @@ def _descr_spatial_weights() -> np.ndarray:
 _DESCR_W = _descr_spatial_weights()  # module-level static
 
 
-def _descriptor(stack: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
+def _descriptor(pyr, l: jnp.ndarray, y: jnp.ndarray,
                 x: jnp.ndarray, scl_octv: jnp.ndarray,
                 angle_deg: jnp.ndarray) -> jnp.ndarray:
     """128-D SIFT descriptor via canonical-grid resampling + einsum binning."""
@@ -335,7 +335,7 @@ def _descriptor(stack: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
     xs = x + (cc * ct + rr * st) * hist_width
     ys = y + (-cc * st + rr * ct) * hist_width
 
-    dx, dy = _grad_at(stack, l, ys, xs)
+    dx, dy = _grad_at(pyr, l, ys, xs)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.degrees(jnp.arctan2(dy, dx)) % 360.0
     rel = (ang - ori) * (n / 360.0)
@@ -501,22 +501,27 @@ def extract_sift(img_gray: jnp.ndarray,
     sel_y = jnp.concatenate(all_ypix)[top_i]
     sel_x = jnp.concatenate(all_xpix)[top_i]
 
-    # orientation + descriptor, per octave (static loop, masked updates)
-    angle = jnp.zeros((max_kp,))
-    desc = jnp.zeros((max_kp, _DESCR_WIDTH * _DESCR_WIDTH * _DESCR_HIST_BINS))
-    for o in range(n_oct):
-        g_oct = gauss[o]  # (n_layers+3, H_o, W_o)
-        in_oct = sel_oct == o
-        scl_octv = sel_size * 0.5 / (2.0 ** (o + first_octave))
+    # orientation + descriptor: ONE vmapped pass over all keypoints,
+    # sampling from the flat concatenated pyramid (no per-octave loop)
+    flat_pyr = jnp.concatenate([g.reshape(-1) for g in gauss])
+    sizes_o = np.array([int(np.prod(g.shape)) for g in gauss])
+    offs_o = np.concatenate([[0], np.cumsum(sizes_o)[:-1]]).astype(np.int32)
+    Hs_o = np.array([g.shape[1] for g in gauss], np.int32)
+    Ws_o = np.array([g.shape[2] for g in gauss], np.int32)
+    kp_off = jnp.asarray(offs_o)[sel_oct]
+    kp_H = jnp.asarray(Hs_o)[sel_oct]
+    kp_W = jnp.asarray(Ws_o)[sel_oct]
+    scl_octv = sel_size * 0.5 / (2.0 ** (sel_oct.astype(jnp.float32)
+                                         + first_octave))
 
-        def per_kp(layer, y, x, so, stack=g_oct):
-            a = _orientation(stack, layer, y, x, so)
-            dvec = _descriptor(stack, layer, y, x, so, a)
-            return a, dvec
+    def per_kp(layer, y, x, so, off, Ho, Wo):
+        pyr = (flat_pyr, off, Ho, Wo)
+        a = _orientation(pyr, layer, y, x, so)
+        dvec = _descriptor(pyr, layer, y, x, so, a)
+        return a, dvec
 
-        a_o, d_o = jax.vmap(per_kp)(sel_layer, sel_y, sel_x, scl_octv)
-        angle = jnp.where(in_oct, a_o, angle)
-        desc = jnp.where(in_oct[:, None], d_o, desc)
+    angle, desc = jax.vmap(per_kp)(sel_layer, sel_y, sel_x, scl_octv,
+                                   kp_off, kp_H, kp_W)
 
     # rootSIFT: L1-normalize + sqrt (convert_to_rootsift)
     l1 = jnp.sum(jnp.abs(desc), axis=1, keepdims=True)
