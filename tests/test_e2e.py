@@ -27,6 +27,22 @@ def test_map_sequence_stitches():
     nz = (prev.sum(-1) > 0).mean()
     assert nz > 0.85, f"coverage {nz:.2f}"
 
+    # golden-image structural check vs the reference's own output
+    # (results/map/map.jpg). Crops/projections differ slightly, so this
+    # is a loose gate against gross blend/geometry regressions.
+    import cv2
+    ref = cv2.imread("/root/reference/results/map/map.jpg")
+    ref = cv2.resize(ref, (w, h), interpolation=cv2.INTER_AREA)
+    a = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    b = cv2.cvtColor(ref, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    # central region only (borders differ by crop)
+    a = a[h // 5:-h // 5, w // 5:-w // 5]
+    b = b[h // 5:-h // 5, w // 5:-w // 5]
+    a = (a - a.mean()) / (a.std() + 1e-6)
+    b = (b - b.mean()) / (b.std() + 1e-6)
+    ncc = float((a * b).mean())
+    assert ncc > 0.5, f"NCC vs golden output too low: {ncc:.3f}"
+
 
 @pytest.mark.slow
 def test_cli_runs(tmp_path):
