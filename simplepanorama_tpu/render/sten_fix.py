@@ -196,18 +196,19 @@ def inpaint_center(img: np.ndarray, ansatz_canvas, radius) -> np.ndarray:
 
 
 def apply_center_fix(params, cfg) -> None:
-    """estimate_circle + disk_reproj on the params in place; stores the
-    inpaint anchor for the blend stage (set_config, _panorama.cpp:103-124)."""
+    """estimate_circle + disk_reproj; stores the inpaint anchor for the
+    blend stage (set_config, _panorama.cpp:103-124). Host detour: the
+    packed device state is materialized, fixed, and repacked."""
     from simplepanorama_tpu.config import Stretch
-    est = estimate_circle(params.masks, params.corners)
+    imgs_l, masks_l, corners_l = params._lists()
+    est = estimate_circle(masks_l, corners_l)
     if est is None:
         params.sten_circle = None
         return
     (cx, cy), r = est
     quad = cfg.stretching == Stretch.QUADRATIC_SCALING
     imgs, masks, corners, ansatz = disk_reproj(
-        params.imgs, params.masks, params.corners, (cx, cy), r, quad)
-    params.imgs = imgs
-    params.masks = masks
-    params.corners = corners
+        imgs_l, masks_l, corners_l, (cx, cy), r, quad)
+    from simplepanorama_tpu.stitcher import _pack_state
+    params.state = _pack_state(imgs, masks, corners)
     params.sten_circle = (ansatz, r)

@@ -41,20 +41,86 @@ _PROJ_KIND = {
 
 @dataclasses.dataclass
 class StitchParams:
-    """Post-BA compositing state (pan::stitch_parameters)."""
+    """Post-BA compositing state (pan::stitch_parameters).
+
+    The packed warped blocks live ON DEVICE (render.compose.ComposeState);
+    profiling showed host<->device block traffic dominated compositing, so
+    the preview path never materializes them host-side. List views are
+    provided for the host-side detours (stereographic fix, graph cut).
+    """
     res: StitchResult
     rot: np.ndarray                 # possibly straightened copy
     proj_kind: str
     scale: float
-    imgs: List[np.ndarray]          # warped, float32 0..255
-    masks: List[np.ndarray]         # footprint masks
-    corners: List[Tuple[int, int]]
-    seam_masks: Optional[List[np.ndarray]] = None
+    state: "object"                 # render.compose.ComposeState
     gains: Optional[np.ndarray] = None
-    intensity_fields: Optional[List[np.ndarray]] = None
-    # ((ansatz_x, ansatz_y) in centered coords, radius_px) when the
-    # stereographic center fix ran (sten_proj state, _panorama.cpp:103-124)
     sten_circle: Optional[tuple] = None
+
+    # ---- list views (host) used by render_full / sten_fix / graphcut ----
+    def _lists(self):
+        import numpy as _np
+        st = self.state
+        imgs = _np.asarray(st.imgs)
+        msks = _np.asarray(st.masks)
+        out_i, out_m, corners = [], [], []
+        for b, (tlx, tly, rw, rh) in enumerate(st.rois):
+            out_i.append(imgs[b, :rh, :rw])
+            out_m.append(msks[b, :rh, :rw])
+            corners.append((tlx, tly))
+        return out_i, out_m, corners
+
+    @property
+    def imgs(self):
+        return self._lists()[0]
+
+    @property
+    def masks(self):
+        return self._lists()[1]
+
+    @property
+    def corners(self):
+        return [(r[0], r[1]) for r in self.state.rois]
+
+    @property
+    def seam_masks(self):
+        if self.state.seam_masks is None:
+            return None
+        import numpy as _np
+        sm = _np.asarray(self.state.seam_masks)
+        return [sm[b, :rh, :rw]
+                for b, (_, _, rw, rh) in enumerate(self.state.rois)]
+
+
+def _pack_state(imgs, masks, corners, seam_masks=None):
+    """Repack host lists into a ComposeState (after host-side detours)."""
+    import jax.numpy as _jnp
+    from simplepanorama_tpu.render.compose import ComposeState
+    from simplepanorama_tpu.geometry.canvas import get_pan_dimension
+    sizes = [im.shape[:2] for im in imgs]
+    d = get_pan_dimension(corners, sizes)
+    Hb = max(s[0] for s in sizes)
+    Wb = max(s[1] for s in sizes)
+    Hb = (Hb + 7) // 8 * 8
+    Wb = (Wb + 127) // 128 * 128
+    n = len(imgs)
+    ib = np.zeros((n, Hb, Wb, 3), np.float32)
+    mb = np.zeros((n, Hb, Wb), bool)
+    sb = np.zeros((n, Hb, Wb), bool) if seam_masks is not None else None
+    offs = np.zeros((n, 2), np.int32)
+    rois = []
+    for i, (im, mk, (tx, ty)) in enumerate(zip(imgs, masks, corners)):
+        h, w = im.shape[:2]
+        ib[i, :h, :w] = im
+        mb[i, :h, :w] = np.asarray(mk) > 0
+        if sb is not None:
+            sb[i, :h, :w] = np.asarray(seam_masks[i]) > 0
+        offs[i] = (ty - d.min_y, tx - d.min_x)
+        rois.append((tx, ty, w, h))
+    return ComposeState(
+        imgs=_jnp.asarray(ib), masks=_jnp.asarray(mb),
+        offs=_jnp.asarray(offs), rois=rois,
+        canvas_hw=(d.height, d.width), min_xy=(d.min_x, d.min_y),
+        seam_masks=_jnp.asarray(sb) if sb is not None else None)
 
 
 def set_config(res: StitchResult, images: Sequence[np.ndarray],
@@ -63,6 +129,7 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
                cancelled: Optional[Callable[[], bool]] = None,
                ) -> StitchParams:
     """images: the *component's* images (res.nodes order), BGR uint8."""
+    from simplepanorama_tpu.render import compose
     rot = res.rot.copy()
     if cfg.straighten:
         rot = expo.straighten(rot)
@@ -70,14 +137,12 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
     scale = float(res.K[res.center][0, 0])
     kind = _PROJ_KIND[cfg.proj]
 
-    pd = prj.get_proj_parameters(
-        kind, scale, [im.astype(np.float32) for im in images],
-        list(rot), list(res.K), list(res.connectivity))
-
+    state = compose.warp_all(kind, scale, images, list(rot), list(res.K),
+                             list(res.connectivity))
     params = StitchParams(res=res, rot=rot, proj_kind=kind, scale=scale,
-                          imgs=pd.imgs, masks=pd.masks, corners=pd.corners)
+                          state=state)
 
-    # stereographic missing-center fix handled in render/sten_fix
+    # stereographic missing-center fix (host detour, then repack)
     if cfg.fix_center and cfg.proj == Projection.STEREOGRAPHIC:
         from simplepanorama_tpu.render import sten_fix
         sten_fix.apply_center_fix(params, cfg)
@@ -85,23 +150,27 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
     if cancelled is not None and cancelled():
         raise RuntimeError("Process canceled")
 
+    st = params.state
     if cfg.blend_intensity:
-        params.intensity_fields = expo.equalize_intensities(
-            params.imgs, params.masks, params.corners)
+        st.intensity = compose.equalize_dev(st.imgs, st.masks, st.offs,
+                                            st.canvas_hw)
 
     if cfg.gain_compensation:
-        # component-local adjacency for the warped (connected) images
-        params.gains = gn.gain_compensation(
-            params.imgs, params.masks, params.corners, res.adj)
+        params.gains = compose.gain_dev(st.imgs, st.masks, st.offs,
+                                        st.canvas_hw, res.adj)
 
     if cfg.cut:
         from simplepanorama_tpu.render import graphcut
-        params.seam_masks = graphcut.graph_cut(
-            params.imgs, params.masks, params.corners,
+        imgs_l, masks_l, corners_l = params._lists()
+        seams_l = graphcut.graph_cut(
+            imgs_l, masks_l, corners_l,
             [n for n, _ in res.order], progress=progress,
             cancelled=cancelled)
+        st.seam_masks = _pack_state(imgs_l, masks_l, corners_l,
+                                    seams_l).seam_masks
     elif cfg.blend == Blending.MULTI_BLEND or cfg.cut_seams:
-        params.seam_masks = sms.dist_cut(params.masks, params.corners)
+        st.seam_masks = compose.dist_cut_dev(st.masks, st.offs,
+                                             st.canvas_hw)
 
     return params
 
@@ -124,21 +193,27 @@ def _blend_dispatch(params: StitchParams, cfg: Config,
 
 
 def render_preview(params: StitchParams, cfg: Config) -> np.ndarray:
-    """Preview assembly (stitch_parameters::get_preview)."""
-    imgs = params.imgs
+    """Preview assembly (stitch_parameters::get_preview) — device path."""
+    from simplepanorama_tpu.render import compose
+    import jax.numpy as jnp
+    st = params.state
+    imgs = st.imgs
     if cfg.gain_compensation and params.gains is not None:
-        imgs = [im / g for im, g in zip(imgs, params.gains)]
-    if cfg.blend_intensity and params.intensity_fields is not None:
-        imgs = expo.adjust_intensity(imgs, params.intensity_fields)
-    out = _blend_dispatch(params, cfg, list(imgs), params.masks,
-                          params.seam_masks, params.corners)
+        imgs = imgs / jnp.asarray(params.gains, jnp.float32)[:, None, None,
+                                                             None]
+    if cfg.blend_intensity and st.intensity is not None:
+        imgs = compose.apply_intensity_dev(imgs, st.intensity)
+    method = ("NO_BLEND" if cfg.blend == Blending.NO_BLEND else
+              "SIMPLE_BLEND" if cfg.blend == Blending.SIMPLE_BLEND else
+              "MULTI_BLEND")
+    if method == "NO_BLEND" and not (cfg.cut or cfg.cut_seams):
+        st = dataclasses.replace(st, seam_masks=None)
+    out = compose.blend_dev(method, st, imgs, cfg.bands, cfg.sigma_blend)
     if params.sten_circle is not None:
         from simplepanorama_tpu.render import sten_fix
-        from simplepanorama_tpu.geometry.canvas import get_pan_dimension
         (ax, ay), r = params.sten_circle
-        d = get_pan_dimension(params.corners,
-                              [im.shape[:2] for im in params.imgs])
-        out = sten_fix.inpaint_center(out, (ax - d.min_x, ay - d.min_y), r)
+        out = sten_fix.inpaint_center(
+            out, (ax - st.min_xy[0], ay - st.min_xy[1]), r)
     return out
 
 
@@ -187,8 +262,11 @@ def render_full(params: StitchParams, cfg: Config,
     imgs = pd.imgs
     if cfg.gain_compensation and params.gains is not None:
         imgs = [im / g for im, g in zip(imgs, params.gains)]
-    if cfg.blend_intensity and params.intensity_fields is not None:
-        imgs = expo.adjust_intensity(imgs, params.intensity_fields)
+    if cfg.blend_intensity and params.state.intensity is not None:
+        fields_dev = np.asarray(params.state.intensity)
+        fields = [fields_dev[b, :rh // 2, :rw // 2]
+                  for b, (_, _, rw, rh) in enumerate(params.state.rois)]
+        imgs = expo.adjust_intensity(imgs, fields)
     return _blend_dispatch(params, cfg, list(imgs), pd.masks, seam_masks,
                            pd.corners)
 
