@@ -76,7 +76,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="panotpu",
         description="TPU-native panorama stitcher (SimplePanorama rebuild)")
-    p.add_argument("images", nargs="+", help="input image paths")
+    p.add_argument("images", nargs="+",
+                   help="input image paths (a directory expands to the "
+                        "image files inside it, like the reference's "
+                        "Open Folder)")
     p.add_argument("-o", "--output", default="panorama.jpg")
     p.add_argument("--full-res", action="store_true",
                    help="render at full input resolution (default: preview)")
@@ -89,6 +92,23 @@ def main(argv=None) -> int:
     cfg = _build_config(args)
     if args.save_config:
         write_config_file(args.save_config, cfg)
+
+    # directory arguments expand to the image files inside (the GTK app's
+    # File > Open Folder, _create_menu.cpp:open_folder)
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp"}
+    inputs = []
+    for a in args.images:
+        pa = Path(a)
+        if pa.is_dir():
+            inputs.extend(sorted(
+                str(f) for f in pa.iterdir()
+                if f.suffix.lower() in exts and f.is_file()))
+        else:
+            inputs.append(a)
+    args.images = inputs
+    if len(args.images) < 2:
+        print("error: need at least two input images", file=sys.stderr)
+        return 1
 
     from simplepanorama_tpu.pipeline import Panorama
     from simplepanorama_tpu.io import save_image
