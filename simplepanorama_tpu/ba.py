@@ -272,7 +272,7 @@ def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
         return (it < max_iter) & (strikes <= 5)
 
     def body(st):
-        it, strikes, cur, lam, n_acc = st
+        it, strikes, cur, err_cur, lam, n_acc = st
         S, rhs, Vinv, Wi, Wj, eB = _assemble(
             cur, data, active_m, lam, cam_active, fast, N)
         da = _solve_preconditioned(S, rhs)
@@ -284,22 +284,20 @@ def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
                    + jnp.einsum("mab,ma->mb", Wj, da_n[data.mj]))
             db = jnp.einsum("mab,mb->ma", Vinv, eB - wtd)
         trial = _apply_delta(cur, da, db, data, cam_active, active_m, fast)
-        err_cur = total_error(cur, data, active_m, fast)
         err_new = total_error(trial, data, active_m, fast)
-        ok = err_new < err_cur
-        finite = jnp.isfinite(err_new)
-        ok = ok & finite
+        ok = (err_new < err_cur) & jnp.isfinite(err_new)
         nxt = jax.tree.map(lambda a, b: jnp.where(ok, a, b), trial, cur)
+        err_nxt = jnp.where(ok, err_new, err_cur)
         lam = jnp.where(ok, lam * 0.1, lam * 10.0)
         strikes = jnp.where(ok, 0, strikes + 1)
-        return (it + 1, strikes, nxt, lam, n_acc + ok.astype(jnp.int32))
+        return (it + 1, strikes, nxt, err_nxt, lam,
+                n_acc + ok.astype(jnp.int32))
 
-    init = (jnp.array(0), jnp.array(0), cams, jnp.asarray(lambda0, jnp.float32),
-            jnp.array(0))
-    it, strikes, cur, lam, n_acc = jax.lax.while_loop(cond, body, init)
-    return LMResult(cams=cur,
-                    error=total_error(cur, data, active_m, fast),
-                    lam=lam, n_accepted=n_acc)
+    err0 = total_error(cams, data, active_m, fast)
+    init = (jnp.array(0), jnp.array(0), cams, err0,
+            jnp.asarray(lambda0, jnp.float32), jnp.array(0))
+    it, strikes, cur, err, lam, n_acc = jax.lax.while_loop(cond, body, init)
+    return LMResult(cams=cur, error=err, lam=lam, n_accepted=n_acc)
 
 
 def model_homography(cams: CamState, i: int, j: int) -> jnp.ndarray:

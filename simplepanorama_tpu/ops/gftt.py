@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from simplepanorama_tpu.ops.sift import (
-    _blur, _descriptor, _orientation, SiftFeatures)
+    _blur, _descriptor, _orientation, grad_stack, SiftFeatures)
 
 
 def _sobel(img: jnp.ndarray):
@@ -91,7 +91,8 @@ def gftt_sift(img_gray: jnp.ndarray, valid_hw: jnp.ndarray,
     xy, resp, valid = gftt_detect(img_gray, valid_hw,
                                   max_corners=max_corners)
     H, W = img_gray.shape
-    flat = _blur(img_gray, 1.0).reshape(-1)      # single-level "pyramid"
+    # single-level "pyramid": dense bf16 gradient buffer (see grad_stack)
+    flat = grad_stack(_blur(img_gray, 1.0)).reshape(-1, 2)
     zeros = jnp.zeros_like(xy[:, 0], jnp.int32)
 
     def per_kp(x, y, l):

@@ -99,20 +99,81 @@ def _pyramid_sigmas(sigma: float, n_layers: int) -> List[float]:
     return sigs
 
 
-def build_pyramid(base: jnp.ndarray, sigma: float, n_layers: int,
-                  n_octaves: int) -> List[jnp.ndarray]:
-    """Gaussian pyramid: list over octaves of (n_layers+3, H_o, W_o)."""
-    sigs = _pyramid_sigmas(sigma, n_layers)
+def _from_base_sigmas(sigma: float, n_layers: int) -> List[float]:
+    """Blur amounts of every level DIRECTLY from the octave base (which
+    already carries blur ``sigma``). Gaussian semigroup: blurring the base
+    by sqrt(sig_total^2 - sigma^2) equals OpenCV's incremental chain."""
+    k = 2.0 ** (1.0 / n_layers)
+    out = [0.0]
+    for i in range(1, n_layers + 3):
+        sig_total = (k ** i) * sigma
+        out.append(math.sqrt(max(sig_total ** 2 - sigma ** 2, 1e-8)))
+    return out
+
+
+def _multi_kernels(sigmas: List[float]) -> np.ndarray:
+    """(L, T) tap matrix, all kernels zero-padded to the widest radius.
+    A zero sigma becomes the identity (delta) kernel."""
+    rads = [max(1, int(round(s * 4))) if s > 0 else 0 for s in sigmas]
+    R = max(rads)
+    T = 2 * R + 1
+    ks = np.zeros((len(sigmas), T), np.float32)
+    for i, s in enumerate(sigmas):
+        if s <= 0:
+            ks[i, R] = 1.0
+            continue
+        r = rads[i]
+        x = np.arange(-r, r + 1, dtype=np.float64)
+        k = np.exp(-(x * x) / (2.0 * s * s))
+        ks[i, R - r:R + r + 1] = (k / k.sum()).astype(np.float32)
+    return ks
+
+
+def _blur_multi(base: jnp.ndarray, sigmas: List[float]) -> jnp.ndarray:
+    """All pyramid levels of one octave in TWO conv dispatches.
+
+    base: (N, H, W) batch of octave bases. Returns (N, L, H, W) where
+    level l is base blurred by sigmas[l]. The horizontal pass is a dense
+    1->L-channel conv (MXU-tileable); the vertical pass is a depthwise
+    conv over the L level-channels. This replaces the reference-shaped
+    chain of ~2(L-1) single-channel convs per octave per image with two
+    batched ops — the difference between ~120 tiny dispatches and ~10
+    large ones on the device."""
+    ks = _multi_kernels(sigmas)
+    L, T = ks.shape
+    R = (T - 1) // 2
+    x = base[:, None]                                     # (N,1,H,W)
+    kh = jnp.asarray(ks)[:, None, None, :]                # (L,1,1,T)
+    kv = jnp.asarray(ks)[:, :, None]                      # (L,T,1) -> below
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (R, R)), mode="edge")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")   # (N,L,H,W)
+    x = jnp.pad(x, ((0, 0), (0, 0), (R, R), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, kv[:, None, :, :], (1, 1), "VALID", feature_group_count=L)
+    return x
+
+
+def build_pyramid_batch(base: jnp.ndarray, sigma: float, n_layers: int,
+                        n_octaves: int) -> List[jnp.ndarray]:
+    """Batched Gaussian pyramid: list over octaves of (N, L, H_o, W_o).
+    Levels are blurred directly from each octave base (see _blur_multi);
+    the next octave base is level ``n_layers`` stride-2 subsampled, exactly
+    as OpenCV's buildGaussianPyramid."""
+    sigs = _from_base_sigmas(sigma, n_layers)
     octaves = []
     cur = base
     for o in range(n_octaves):
-        levels = [cur]
-        for s in range(1, n_layers + 3):
-            levels.append(_blur(levels[-1], sigs[s]))
-        octaves.append(jnp.stack(levels))
-        # next octave base: level n_layers, stride-2 subsample
-        cur = levels[n_layers][::2, ::2]
+        oct_ = _blur_multi(cur, sigs)
+        octaves.append(oct_)
+        cur = oct_[:, n_layers, ::2, ::2]
     return octaves
+
+
+def build_pyramid(base: jnp.ndarray, sigma: float, n_layers: int,
+                  n_octaves: int) -> List[jnp.ndarray]:
+    """Gaussian pyramid of ONE image: list over octaves of (L, H_o, W_o)."""
+    return [o[0] for o in build_pyramid_batch(base[None], sigma, n_layers,
+                                              n_octaves)]
 
 
 # ---------------------------------------------------------------------------
@@ -203,37 +264,50 @@ def _dense_refine(dog: jnp.ndarray, n_layers: int, contrast_thresh: float,
 # Canonical-grid sampling helpers
 # ---------------------------------------------------------------------------
 
-def _bilinear(pyr, l: jnp.ndarray, ys: jnp.ndarray,
-              xs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of level ``l`` of one octave inside a FLAT pyramid.
+def grad_stack(level_imgs: jnp.ndarray) -> jnp.ndarray:
+    """Dense central-difference gradients of a (..., H, W) level stack:
+    returns (..., H, W, 2) with (dx, dy) interleaved in bf16.
 
-    ``pyr`` = (flat (T,), off, H, W) — off/H/W are (possibly traced)
-    per-keypoint scalars selecting the octave. Flat 1-D gathers are the
-    only pyramid access pattern this backend lowers efficiently (multidim
-    indexing or per-octave stacks broadcast the operand under vmap), and
-    a single flat buffer lets ONE vmapped pass serve keypoints of every
-    octave — no per-octave recompute.
-    """
-    flat, off, H, W = pyr
-    x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
-    fx = jnp.clip(xs - x0, 0.0, 1.0)
-    fy = jnp.clip(ys - y0, 0.0, 1.0)
-    base = off + l * (H * W) + y0 * W + x0
-    v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + W]
-    v11 = flat[base + W + 1]
-    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-            + (v10 * (1 - fx) + v11 * fx) * fy)
+    dy follows OpenCV's upward-positive convention I(y-1) - I(y+1).
+    Precomputing gradients densely (cheap shifted subtractions) lets the
+    per-keypoint pass bilinearly sample dx/dy directly — 4 two-element
+    row gathers per sample instead of the 16 scalar gathers that
+    gradient-of-bilinear-intensity needs. bf16 halves gather bytes; the
+    descriptor normalizes away the precision loss."""
+    z = jnp.zeros_like(level_imgs[..., :, :1])
+    dx = jnp.concatenate([z, level_imgs[..., :, 2:] - level_imgs[..., :, :-2],
+                          z], axis=-1)
+    zr = jnp.zeros_like(level_imgs[..., :1, :])
+    dy = jnp.concatenate([zr, level_imgs[..., :-2, :]
+                          - level_imgs[..., 2:, :], zr], axis=-2)
+    return jnp.stack([dx, dy], axis=-1).astype(jnp.bfloat16)
 
 
 def _grad_at(pyr, l: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """Central-difference gradient, bilinearly sampled: (gx, gy)."""
-    gx = _bilinear(pyr, l, ys, xs + 1.0) - _bilinear(pyr, l, ys, xs - 1.0)
-    gy = _bilinear(pyr, l, ys - 1.0, xs) - _bilinear(pyr, l, ys + 1.0, xs)
-    # note: OpenCV uses dy = I(y-1) - I(y+1) (upward-positive), kept here
-    return gx, gy
+    """Bilinear sample of the dense gradient field: (gx, gy).
+
+    ``pyr`` = (flat2 (T, 2) bf16 gradient buffer, off, H, W) — off/H/W
+    are (possibly traced) per-keypoint scalars selecting the octave.
+    Flat row gathers are the only pyramid access pattern this backend
+    lowers efficiently (multidim indexing or per-octave stacks broadcast
+    the operand under vmap), and a single flat buffer lets ONE vmapped
+    pass serve keypoints of every octave — no per-octave recompute.
+    Each (dx, dy) pair is contiguous, so the four bilinear corners cost
+    four 2-element gathers total.
+    """
+    flat2, off, H, W = pyr
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
+    base = off + l * (H * W) + y0 * W + x0
+    v00 = flat2[base]
+    v01 = flat2[base + 1]
+    v10 = flat2[base + W]
+    v11 = flat2[base + W + 1]
+    g = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+         + (v10 * (1 - fx) + v11 * fx) * fy).astype(jnp.float32)
+    return g[..., 0], g[..., 1]
 
 
 def _orientation(pyr, l: jnp.ndarray, y: jnp.ndarray,
@@ -400,6 +474,19 @@ def extract_sift(img_gray: jnp.ndarray,
     n_oct = _num_octaves(*base.shape)
 
     gauss = build_pyramid(base, sigma, n_layers, n_oct)
+    return _sift_from_pyramid(tuple(gauss), valid_hw, max_kp, n_layers,
+                              contrast_thresh, edge_thresh, sigma,
+                              first_octave)
+
+
+def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
+                       contrast_thresh: float, edge_thresh: float,
+                       sigma: float, first_octave: int) -> SiftFeatures:
+    """Detector+descriptor over a prebuilt single-image Gaussian pyramid
+    (tuple over octaves of (L, H_o, W_o)). Shared by the single-image
+    entry point and the batched one (which builds the pyramid with
+    batched convs and vmaps this core)."""
+    n_oct = len(gauss)
     dogs = [g[1:] - g[:-1] for g in gauss]
 
     prethresh = 0.5 * contrast_thresh / n_layers * 255.0
@@ -502,8 +589,10 @@ def extract_sift(img_gray: jnp.ndarray,
     sel_x = jnp.concatenate(all_xpix)[top_i]
 
     # orientation + descriptor: ONE vmapped pass over all keypoints,
-    # sampling from the flat concatenated pyramid (no per-octave loop)
-    flat_pyr = jnp.concatenate([g.reshape(-1) for g in gauss])
+    # sampling dense bf16 gradients from the flat concatenated pyramid
+    # (no per-octave loop; see grad_stack for the gather-count math)
+    flat_pyr = jnp.concatenate(
+        [grad_stack(g).reshape(-1, 2) for g in gauss])
     sizes_o = np.array([int(np.prod(g.shape)) for g in gauss])
     offs_o = np.concatenate([[0], np.cumsum(sizes_o)[:-1]]).astype(np.int32)
     Hs_o = np.array([g.shape[1] for g in gauss], np.int32)
@@ -553,20 +642,35 @@ def extract_sift_batch(imgs_u8: jnp.ndarray,
 
     imgs_u8: (N, H, W, 3) uint8 BGR (edge-padded to the common shape);
     valid_hw: (N, 2) int32. Grayscale conversion happens on-device (4x
-    less host->device traffic than f32 gray), and lax.map compiles the
-    per-image program once while pipelining the batch without per-image
-    host round trips — the TPU replacement for the reference's
-    one-async-task-per-image fan-out (_image.cpp:125-149).
+    less host->device traffic than f32 gray). The Gaussian pyramid — the
+    dominant cost — is built for the WHOLE batch with two large convs per
+    octave (_blur_multi); the per-image detector/descriptor core is then
+    vmapped over the batch. This is the TPU replacement for the
+    reference's one-async-task-per-image fan-out (_image.cpp:125-149).
     """
-    def one(args):
-        img, hw = args
-        b = img[..., 0].astype(jnp.float32)
-        g = img[..., 1].astype(jnp.float32)
-        r = img[..., 2].astype(jnp.float32)
-        gray = 0.114 * b + 0.587 * g + 0.299 * r
-        return extract_sift(gray, hw, max_kp=max_kp, n_layers=n_layers,
-                            contrast_thresh=contrast_thresh,
-                            edge_thresh=edge_thresh, sigma=sigma,
-                            upscale=upscale)
+    N, H, W, _ = imgs_u8.shape
+    b = imgs_u8[..., 0].astype(jnp.float32)
+    g = imgs_u8[..., 1].astype(jnp.float32)
+    r = imgs_u8[..., 2].astype(jnp.float32)
+    gray = 0.114 * b + 0.587 * g + 0.299 * r      # (N, H, W)
+
+    if upscale:
+        base = jax.image.resize(gray, (N, H * 2, W * 2), "linear")
+        sig_diff = math.sqrt(max(sigma * sigma - 4 * 0.25, 0.01))
+        first_octave = -1
+    else:
+        base = gray
+        sig_diff = math.sqrt(max(sigma * sigma - 0.25, 0.01))
+        first_octave = 0
+    base = _blur_multi(base, [sig_diff])[:, 0]
+    n_oct = _num_octaves(base.shape[1], base.shape[2])
+
+    gauss = build_pyramid_batch(base, sigma, n_layers, n_oct)
+
+    core = functools.partial(
+        _sift_from_pyramid, max_kp=max_kp, n_layers=n_layers,
+        contrast_thresh=contrast_thresh, edge_thresh=edge_thresh,
+        sigma=sigma, first_octave=first_octave)
+    return jax.vmap(lambda pyr, hw: core(pyr, hw))(tuple(gauss), valid_hw)
 
     return jax.lax.map(one, (imgs_u8, valid_hw))
