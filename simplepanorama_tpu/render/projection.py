@@ -119,20 +119,15 @@ def roi_for_image(kind: str, scale: float, R: np.ndarray, K: np.ndarray,
     return tl_x, tl_y, br_x - tl_x + 1, br_y - tl_y + 1
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "out_h", "out_w"))
-def warp_backward(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
-                  corner: jnp.ndarray, scale,
-                  kind: str, out_h: int, out_w: int,
-                  valid_hw: jnp.ndarray):
-    """Backward-map warp of one image into its padded destination ROI.
-
-    img: (H, W, C) float32 (replicate/zero padded to common shape);
-    valid_hw: true (h, w) of the source. Returns (warped (out_h,out_w,C),
-    mask (out_h,out_w) bool) — mask not yet eroded.
-    """
+def warp_from_grid(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
+                   corner: jnp.ndarray, scale, kind: str,
+                   yy: jnp.ndarray, xx: jnp.ndarray,
+                   valid_hw: jnp.ndarray):
+    """Backward-map warp over an arbitrary destination coordinate grid
+    (yy, xx are canvas-ROI pixel coordinates). The tiled/spatially-sharded
+    render path (parallel.tiled_compose) calls this with each device's
+    slab of the canvas grid; warp_backward calls it with the full ROI."""
     _, bwd = _PROJ[kind]
-    yy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     u = (xx + corner[0]) / scale
     v = (yy + corner[1]) / scale
     dx, dy, dz = bwd(u, v, jnp)
@@ -161,6 +156,23 @@ def warp_backward(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
            + (v10 * (1 - fx) + v11 * fx) * fy)
     out = jnp.where(inb[..., None], out, 0.0)
     return out, inb
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_h", "out_w"))
+def warp_backward(img: jnp.ndarray, K_adj: jnp.ndarray, R: jnp.ndarray,
+                  corner: jnp.ndarray, scale,
+                  kind: str, out_h: int, out_w: int,
+                  valid_hw: jnp.ndarray):
+    """Backward-map warp of one image into its padded destination ROI.
+
+    img: (H, W, C) float32 (replicate/zero padded to common shape);
+    valid_hw: true (h, w) of the source. Returns (warped (out_h,out_w,C),
+    mask (out_h,out_w) bool) — mask not yet eroded.
+    """
+    yy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    return warp_from_grid(img, K_adj, R, corner, scale, kind, yy, xx,
+                          valid_hw)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_h", "out_w",

@@ -59,7 +59,7 @@ def test_sharded_lm_matches_single_device():
 def test_shard_map_step_reduces_error():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from simplepanorama_tpu.parallel.dist_ba import make_lm_step_shard_map
 
