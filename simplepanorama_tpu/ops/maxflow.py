@@ -45,11 +45,17 @@ def _shift(x, dy, dx, fill):
 _DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0))
 
 
-def _dist_to_sink(caps, demand, node, n_sweep):
+def _dist_to_sink(caps, demand, node, n_sweep, shift=_shift,
+                  gany=lambda b: b):
     """Height field = BFS distance to the nearest sink-demand node through
     positive-residual edges (global relabel). caps: (4, H, W).
     Runs to fixpoint (bounded by n_sweep) — truncated distances would
-    make reachable nodes look like source-side."""
+    make reachable nodes look like source-side.
+
+    ``shift``/``gany`` parameterize the neighbor access and the global
+    any-reduction so the same solver runs single-device (identity) or
+    column-sharded under shard_map (halo ppermute + psum) — see
+    parallel.dist_mincut."""
     d0 = jnp.where(demand & node, 0.0, _INF)
 
     def cond(state):
@@ -61,15 +67,90 @@ def _dist_to_sink(caps, demand, node, n_sweep):
         best = d
         for k, (dy, dx) in enumerate(_DIRS):
             # can send flow from here toward the neighbor if cap[k] > 0
-            nb = _shift(d, dy, dx, _INF)
+            nb = shift(d, dy, dx, _INF)
             cand = jnp.where(caps[k] > 0, nb + 1.0, _INF)
             best = jnp.minimum(best, cand)
         best = jnp.where(node, best, _INF)
-        return it + 1, best, jnp.any(best < d)
+        return it + 1, best, gany(jnp.any(best < d))
 
     _, d, _ = jax.lax.while_loop(cond, body, (jnp.array(0), d0,
                                               jnp.array(True)))
     return d
+
+
+def _mincut_core(cap_h, cap_v, excess0, node,
+                 max_outer: int, inner_iters: int, sweep_iters: int,
+                 shift=_shift, gany=lambda b: b):
+    """Solver core shared by the single-device and the column-sharded
+    variants; ``shift`` supplies neighbor values (with halo exchange when
+    the grid is sharded) and ``gany`` reduces loop predicates globally."""
+    H, W = cap_h.shape
+    nodef = node.astype(jnp.float32)
+    cap_h = cap_h * nodef * shift(nodef, 0, 1, 0.0)
+    cap_v = cap_v * nodef * shift(nodef, 1, 0, 0.0)
+    # residual caps per direction: caps[k][p] = capacity from p toward its
+    # k-neighbor. Left/up edges live at the neighbor's index in
+    # cap_h/cap_v, hence the -1 shifts.
+    caps = jnp.stack([cap_h, shift(cap_h, 0, -1, 0.0),
+                      cap_v, shift(cap_v, -1, 0, 0.0)])
+    # direction k's reverse direction index
+    rev = (1, 0, 3, 2)
+
+    e = jnp.where(node, excess0, 0.0)
+    # clamp t-link magnitudes to (sum of incident edge caps + 1): a t-link
+    # at least as large as everything the node can move is never the
+    # bottleneck, so the min cut is unchanged — and it keeps every value
+    # O(edge weight), which f32 needs (5000-scale seeds next to 0.1-scale
+    # flows lose the flows to cancellation)
+    cap_sum = caps.sum(axis=0) + 1.0
+    e = jnp.clip(e, -cap_sum, cap_sum)
+
+    def push_phase(state):
+        caps, e, h = state
+        # sequential over 4 directions inside one phase (deterministic)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = shift(h, dy, dx, _INF)
+            admissible = (e > 0) & (h == h_nb + 1.0) & (caps[k] > 0)
+            flow = jnp.where(admissible, jnp.minimum(e, caps[k]), 0.0)
+            caps = caps.at[k].add(-flow)
+            # reverse capacity grows AT THE RECEIVING node: value shifted
+            # opposite to the push direction
+            caps = caps.at[rev[k]].add(shift(flow, -dy, -dx, 0.0))
+            e = e - flow + shift(flow, -dy, -dx, 0.0)
+        # relabel: active nodes with no admissible edge lift to
+        # 1 + min residual neighbor height
+        min_h = _INF * jnp.ones_like(h)
+        adm = jnp.zeros_like(h, dtype=bool)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = shift(h, dy, dx, _INF)
+            has_cap = caps[k] > 0
+            min_h = jnp.minimum(min_h, jnp.where(has_cap, h_nb, _INF))
+            adm = adm | (has_cap & (h == h_nb + 1.0))
+        lift = (e > 0) & (~adm) & (min_h < _INF)
+        h = jnp.where(lift, min_h + 1.0, h)
+        return caps, e, h
+
+    def outer_body(state):
+        it, caps, e, h, _ = state
+        h = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
+        caps, e, h = jax.lax.fori_loop(
+            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
+        # progress check: active excess that can still reach a sink
+        d = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
+        work_left = gany(jnp.any((e > 0) & (d < _INF)))
+        return it + 1, caps, e, h, work_left
+
+    def outer_cond(state):
+        it, _, _, _, work_left = state
+        return (it < max_outer) & work_left
+
+    h0 = jnp.where(node, 0.0, _INF)
+    state = (jnp.array(0), caps, e, h0, jnp.array(True))
+    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+
+    # final residual reachability-to-sink: unreachable = source side
+    d = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
+    return (d >= _INF) & node
 
 
 @functools.partial(jax.jit, static_argnames=("max_outer", "inner_iters",
@@ -90,69 +171,5 @@ def grid_mincut(cap_h: jnp.ndarray, cap_v: jnp.ndarray,
     H, W = cap_h.shape
     if sweep_iters <= 0:
         sweep_iters = H + W + 4   # grid diameter bounds every BFS
-    nodef = node.astype(jnp.float32)
-    cap_h = cap_h * nodef * _shift(nodef, 0, 1, 0.0)
-    cap_v = cap_v * nodef * _shift(nodef, 1, 0, 0.0)
-    # residual caps per direction: caps[k][p] = capacity from p toward its
-    # k-neighbor. Left/up edges live at the neighbor's index in
-    # cap_h/cap_v, hence the -1 shifts.
-    caps = jnp.stack([cap_h, _shift(cap_h, 0, -1, 0.0),
-                      cap_v, _shift(cap_v, -1, 0, 0.0)])
-    # direction k's reverse direction index
-    rev = (1, 0, 3, 2)
-
-    e = jnp.where(node, excess0, 0.0)
-    # clamp t-link magnitudes to (sum of incident edge caps + 1): a t-link
-    # at least as large as everything the node can move is never the
-    # bottleneck, so the min cut is unchanged — and it keeps every value
-    # O(edge weight), which f32 needs (5000-scale seeds next to 0.1-scale
-    # flows lose the flows to cancellation)
-    cap_sum = caps.sum(axis=0) + 1.0
-    e = jnp.clip(e, -cap_sum, cap_sum)
-
-    def push_phase(state):
-        caps, e, h = state
-        # sequential over 4 directions inside one phase (deterministic)
-        for k, (dy, dx) in enumerate(_DIRS):
-            h_nb = _shift(h, dy, dx, _INF)
-            admissible = (e > 0) & (h == h_nb + 1.0) & (caps[k] > 0)
-            flow = jnp.where(admissible, jnp.minimum(e, caps[k]), 0.0)
-            caps = caps.at[k].add(-flow)
-            # reverse capacity grows AT THE RECEIVING node: value shifted
-            # opposite to the push direction
-            caps = caps.at[rev[k]].add(_shift(flow, -dy, -dx, 0.0))
-            e = e - flow + _shift(flow, -dy, -dx, 0.0)
-        # relabel: active nodes with no admissible edge lift to
-        # 1 + min residual neighbor height
-        min_h = _INF * jnp.ones_like(h)
-        adm = jnp.zeros_like(h, dtype=bool)
-        for k, (dy, dx) in enumerate(_DIRS):
-            h_nb = _shift(h, dy, dx, _INF)
-            has_cap = caps[k] > 0
-            min_h = jnp.minimum(min_h, jnp.where(has_cap, h_nb, _INF))
-            adm = adm | (has_cap & (h == h_nb + 1.0))
-        lift = (e > 0) & (~adm) & (min_h < _INF)
-        h = jnp.where(lift, min_h + 1.0, h)
-        return caps, e, h
-
-    def outer_body(state):
-        it, caps, e, h, _ = state
-        h = _dist_to_sink(caps, e < 0, node, sweep_iters)
-        caps, e, h = jax.lax.fori_loop(
-            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
-        # progress check: active excess that can still reach a sink
-        d = _dist_to_sink(caps, e < 0, node, sweep_iters)
-        work_left = jnp.any((e > 0) & (d < _INF))
-        return it + 1, caps, e, h, work_left
-
-    def outer_cond(state):
-        it, _, _, _, work_left = state
-        return (it < max_outer) & work_left
-
-    h0 = jnp.where(node, 0.0, _INF)
-    state = (jnp.array(0), caps, e, h0, jnp.array(True))
-    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, state)
-
-    # final residual reachability-to-sink: unreachable = source side
-    d = _dist_to_sink(caps, e < 0, node, sweep_iters)
-    return (d >= _INF) & node
+    return _mincut_core(cap_h, cap_v, excess0, node, max_outer,
+                        inner_iters, sweep_iters)

@@ -6,4 +6,17 @@ axes with XLA collectives)."""
 from simplepanorama_tpu.parallel.mesh import make_mesh, shard_matches
 from simplepanorama_tpu.parallel.dist_ba import lm_run_sharded
 
-__all__ = ["make_mesh", "shard_matches", "lm_run_sharded"]
+__all__ = ["make_mesh", "shard_matches", "lm_run_sharded",
+           "multi_blend_sharded", "warp_tiled", "halo_exchange",
+           "grid_mincut_sharded"]
+
+
+def __getattr__(name):
+    # lazy: tiled_compose/dist_mincut pull in the render stack
+    if name in ("multi_blend_sharded", "warp_tiled", "halo_exchange"):
+        from simplepanorama_tpu.parallel import tiled_compose
+        return getattr(tiled_compose, name)
+    if name == "grid_mincut_sharded":
+        from simplepanorama_tpu.parallel import dist_mincut
+        return dist_mincut.grid_mincut_sharded
+    raise AttributeError(name)

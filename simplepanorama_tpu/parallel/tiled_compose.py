@@ -42,9 +42,10 @@ from simplepanorama_tpu.render.blending import _blur_fixed, _acc_add
 from simplepanorama_tpu.render import projection as prj
 
 
-def halo_exchange(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+def halo_exchange(x: jnp.ndarray, halo: int, axis: str,
+                  fill: float = 0.0) -> jnp.ndarray:
     """Pad a column-sharded slab with ``halo`` columns from each mesh
-    neighbor (zeros at the mesh ends). Must run inside shard_map over
+    neighbor (``fill`` at the mesh ends). Must run inside shard_map over
     ``axis``; x is the local (H, Ws, ...) slab, returns (H, Ws+2*halo, ...).
 
     The ppermute pair is the TPU idiom for stencil boundaries: each device
@@ -55,11 +56,17 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     right_edge = jax.lax.slice_in_dim(x, x.shape[1] - halo, x.shape[1],
                                       axis=1)
     # device d receives (d-1)'s right edge as its left halo and (d+1)'s
-    # left edge as its right halo
+    # left edge as its right halo (non-participants receive zeros)
     from_left = jax.lax.ppermute(
         right_edge, axis, [(d, d + 1) for d in range(n - 1)])
     from_right = jax.lax.ppermute(
         left_edge, axis, [(d + 1, d) for d in range(n - 1)])
+    if fill != 0.0:
+        d = jax.lax.axis_index(axis)
+        from_left = jnp.where(d == 0, jnp.full_like(from_left, fill),
+                              from_left)
+        from_right = jnp.where(d == n - 1, jnp.full_like(from_right, fill),
+                               from_right)
     return jnp.concatenate([from_left, x, from_right], axis=1)
 
 

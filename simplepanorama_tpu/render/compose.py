@@ -231,7 +231,12 @@ def _overlap_sums_dev(grays, msks, offs, canvas_hw):
 
 def blend_dev(method: str, state: ComposeState, imgs, bands: int,
               sigma: float) -> np.ndarray:
-    """Blend packed device blocks -> uint8 numpy panorama (one transfer)."""
+    """Blend packed device blocks -> uint8 numpy panorama (one transfer).
+
+    MULTI_BLEND is a pure sum over images, so with >1 device attached it
+    runs the mesh-parallel schedule (parallel.tiled_compose): band pyramids
+    data-parallel over images, canvas reduced by psum_scatter. NO/SIMPLE
+    are order-dependent composites and stay single-device."""
     seams = state.seam_masks
     msks_f = state.masks.astype(jnp.float32)
     if method == "NO_BLEND":
@@ -240,6 +245,13 @@ def blend_dev(method: str, state: ComposeState, imgs, bands: int,
                        state.canvas_hw)
     elif method == "SIMPLE_BLEND":
         out = simple_blend(imgs, msks_f, state.offs, state.canvas_hw)
+    elif jax.device_count() > 1:
+        from simplepanorama_tpu.parallel.mesh import make_mesh
+        from simplepanorama_tpu.parallel.tiled_compose import \
+            multi_blend_sharded
+        out = multi_blend_sharded(imgs, seams.astype(jnp.float32), msks_f,
+                                  state.offs, state.canvas_hw, make_mesh(),
+                                  bands=bands, sigma=float(sigma))
     else:
         out = multi_blend(imgs, seams.astype(jnp.float32), msks_f,
                           state.offs, state.canvas_hw,

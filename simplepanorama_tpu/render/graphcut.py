@@ -91,8 +91,9 @@ def _build_cut_graph(img1: jnp.ndarray, img2: jnp.ndarray,
 
 
 def _solve_cut(wh, wv, excess, obj, mask2):
-    """Min-cut dispatch: data-parallel push-relabel on an accelerator,
-    the native Dinic backend on host CPU (the reference's BK slot)."""
+    """Min-cut dispatch: data-parallel push-relabel on an accelerator
+    (column-sharded over the mesh when >1 device is attached), the native
+    Dinic backend on host CPU (the reference's BK slot)."""
     import jax as _jax
     if _jax.default_backend() == "cpu":
         from simplepanorama_tpu.native import grid_mincut_native
@@ -103,6 +104,11 @@ def _solve_cut(wh, wv, excess, obj, mask2):
             side = jnp.asarray(side)
         except Exception:
             side = grid_mincut(wh, wv, excess, obj)
+    elif _jax.device_count() > 1:
+        from simplepanorama_tpu.parallel.mesh import make_mesh
+        from simplepanorama_tpu.parallel.dist_mincut import \
+            grid_mincut_sharded
+        side = grid_mincut_sharded(wh, wv, excess, obj, make_mesh())
     else:
         side = grid_mincut(wh, wv, excess, obj)
     return jnp.where(obj, side, mask2 > 0)

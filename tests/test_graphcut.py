@@ -103,6 +103,35 @@ def test_mincut_irregular_region():
     assert ours <= exact * 1.02 + 1e-3, f"cut {ours} vs exact {exact}"
 
 
+def test_mincut_sharded_matches_single():
+    """The column-sharded solver (halo ppermute + psum predicates) runs
+    the same phase schedule as the single-device kernel, so the cut must
+    match bit-for-bit on the 8-device CPU mesh."""
+    from simplepanorama_tpu.parallel.mesh import make_mesh
+    from simplepanorama_tpu.parallel.dist_mincut import grid_mincut_sharded
+    rng = np.random.default_rng(11)
+    H, W = 24, 36    # W not a multiple of 8: exercises the pad path
+    wh = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    wv = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    wh[:, 17] *= 0.01
+    node = np.ones((H, W), bool)
+    node[5:9, 20:24] = False
+    excess = np.zeros((H, W), np.float32)
+    excess[:, 0] = 5000.0
+    excess[:, -1] = -5000.0
+    single = np.asarray(grid_mincut(
+        jnp.asarray(wh), jnp.asarray(wv), jnp.asarray(excess),
+        jnp.asarray(node), sweep_iters=H + 40 + 4))
+    mesh = make_mesh(8)
+    sharded = np.asarray(grid_mincut_sharded(
+        jnp.asarray(wh), jnp.asarray(wv), jnp.asarray(excess),
+        jnp.asarray(node), mesh))
+    np.testing.assert_array_equal(sharded, single)
+    ours = _cut_value(wh, wv, excess, node, sharded)
+    exact = _scipy_mincut_value(wh, wv, excess, node)
+    assert ours <= exact * 1.02 + 1e-3
+
+
 def test_native_matches_jax_mincut():
     """The C++ Dinic backend and the TPU push-relabel kernel must find
     min cuts of equal value on the same graph."""
