@@ -260,10 +260,12 @@ class LMResult(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("fast", "max_iter"))
-def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
-           lambda0, fast: bool = False, max_iter: int = 50) -> LMResult:
-    """Full LM optimization over the active subproblem (one XLA program)."""
+def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
+                lambda0, fast: bool = False, max_iter: int = 50) -> LMResult:
+    """lm_run body without the jit wrapper — composable inside larger
+    compiled programs (the fused incremental driver, stitch._incremental_lm,
+    inlines it in a fori_loop so the whole node-addition schedule is one
+    XLA program with zero host round trips)."""
     N = cams.focal.shape[0]
     active_m = data.m_valid & cam_active[data.mi] & cam_active[data.mj]
 
@@ -298,6 +300,14 @@ def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
             jnp.asarray(lambda0, jnp.float32), jnp.array(0))
     it, strikes, cur, err, lam, n_acc = jax.lax.while_loop(cond, body, init)
     return LMResult(cams=cur, error=err, lam=lam, n_accepted=n_acc)
+
+
+@functools.partial(jax.jit, static_argnames=("fast", "max_iter"))
+def lm_run(cams: CamState, data: BAData, cam_active: jnp.ndarray,
+           lambda0, fast: bool = False, max_iter: int = 50) -> LMResult:
+    """Full LM optimization over the active subproblem (one XLA program)."""
+    return lm_run_impl(cams, data, cam_active, lambda0, fast=fast,
+                       max_iter=max_iter)
 
 
 def model_homography(cams: CamState, i: int, j: int) -> jnp.ndarray:

@@ -31,9 +31,14 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
+import jax
+
 from simplepanorama_tpu.config import Config
 from simplepanorama_tpu.adjacency import Adjacency
 from simplepanorama_tpu.geometry.graph import Component, order_nodes_by_connection
+from simplepanorama_tpu.geometry import rotation as rotn
 from simplepanorama_tpu import ba
 
 
@@ -95,6 +100,49 @@ def _orthogonalize_np(M: np.ndarray) -> np.ndarray:
     return U @ Vt
 
 
+@functools.partial(jax.jit, static_argnames=("fast", "n_steps"))
+def _incremental_lm(cams0: ba.CamState, data: ba.BAData, first,
+                    order_nodes, order_conns, H_pair, lambda0,
+                    fast: bool, n_steps: int):
+    """The ENTIRE incremental node-addition schedule as one XLA program.
+
+    The host driver (below) used to round-trip camera state to the host
+    after every LM run only to re-feed it for the next addition; over a
+    network-attached device each trip costs more than the solve. Here the
+    greedy order is host-computed metadata (static arrays), and each
+    fori_loop step activates one camera, initializes it from its connection
+    on-device (inherit focal, zero principal point, SVD rotation init from
+    the pairwise RANSAC homography — stch::bundleadjust_stitching,
+    /root/reference/src/math/_stitch.cpp:238-296) and runs the full LM
+    while_loop (ba.lm_run_impl) over the active set.
+    """
+    N = cams0.focal.shape[0]
+    active0 = jnp.zeros(N, bool).at[first].set(True)
+
+    def step(l, st):
+        cams, active = st
+        node = order_nodes[l]
+        conn = order_conns[l]
+        f = cams.focal[conn]
+        Kc = ba._K_of(f, cams.ppal[conn])
+        Kn_inv = jnp.diag(jnp.stack([1.0 / f, 1.0 / f,
+                                     jnp.ones_like(f)]))
+        M = Kn_inv @ H_pair[l] @ Kc
+        R_init = rotn.orthogonalize(M)
+        R_conn = rotn.rodrigues(cams.rotvec[conn])
+        rv_node = rotn.rotvec_from_matrix(R_init @ R_conn)
+        cams = cams._replace(
+            focal=cams.focal.at[node].set(f),
+            ppal=cams.ppal.at[node].set(0.0),
+            rotvec=cams.rotvec.at[node].set(rv_node))
+        active = active.at[node].set(True)
+        res = ba.lm_run_impl(cams, data, active, lambda0, fast=fast)
+        return (res.cams, active)
+
+    cams, active = jax.lax.fori_loop(1, n_steps, step, (cams0, active0))
+    return cams
+
+
 def bundle_adjust_stitching(comp: Component,
                             adjres: Adjacency,
                             sizes: Sequence[Tuple[int, int]],
@@ -102,11 +150,15 @@ def bundle_adjust_stitching(comp: Component,
                             cfg: Config,
                             progress: Optional[Callable[[float], None]] = None,
                             cancelled: Optional[Callable[[], bool]] = None,
+                            fused: bool = True,
                             ) -> StitchResult:
     """Run the incremental BA over one connected component.
 
     ``sizes`` are (h, w) of the *global* image list; ``focal`` the scene
-    focal estimate (or config fallback).
+    focal estimate (or config fallback). ``fused=True`` runs the whole
+    node-addition schedule as one compiled program (_incremental_lm);
+    ``fused=False`` keeps the per-addition host loop (finer progress /
+    cancellation granularity, reference-shaped control flow).
     """
     nodes = comp.nodes
     n = len(nodes)
@@ -124,6 +176,49 @@ def bundle_adjust_stitching(comp: Component,
         return adjres.hom_mat[nodes[li], nodes[lj]].astype(np.float64)
 
     if n == 1 or len(order) < 2:
+        Ks = K.copy()
+        for l in range(n):
+            h, w = sizes[nodes[l]]
+            Ks[l, 0, 2] += w // 2
+            Ks[l, 1, 2] += h // 2
+        return StitchResult(rot=rot, K=Ks, adj=comp.adj,
+                            connectivity=comp.connectivity, order=order,
+                            nodes=nodes, center=center,
+                            sizes=[sizes[g] for g in nodes])
+
+    if fused:
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        L = len(order)
+        order_nodes = np.array([o[0] for o in order], np.int32)
+        order_conns = np.array([max(o[1], 0) for o in order], np.int32)
+        H_pair = np.tile(np.eye(3, dtype=np.float32), (L, 1, 1))
+        for l in range(1, L):
+            H_pair[l] = local_H(order[l][1], order[l][0]).astype(np.float32)
+        cams0 = ba.CamState(
+            focal=jnp.full((n,), focal, jnp.float32),
+            ppal=jnp.zeros((n, 2), jnp.float32),
+            rotvec=jnp.zeros((n, 3), jnp.float32),
+            b=data.t)
+        cams = _incremental_lm(
+            cams0, data, jnp.asarray(order[0][0], jnp.int32),
+            jnp.asarray(order_nodes), jnp.asarray(order_conns),
+            jnp.asarray(H_pair), jnp.asarray(float(cfg.lambda_),
+                                             jnp.float32),
+            fast=bool(cfg.fast), n_steps=L)
+        focal_new = np.asarray(cams.focal, np.float64)
+        ppal_new = np.asarray(cams.ppal, np.float64)
+        rv_new = np.asarray(cams.rotvec, np.float64)
+        in_order = {o[0] for o in order}
+        for i in range(n):
+            if i in in_order:
+                K[i] = np.array([[focal_new[i], 0, ppal_new[i, 0]],
+                                 [0, focal_new[i], ppal_new[i, 1]],
+                                 [0, 0, 1.0]])
+                rot[i] = _rodrigues_np(rv_new[i])
+        if progress is not None:
+            for _ in range(L - 1):
+                progress(1.0 / (L - 1))
         Ks = K.copy()
         for l in range(n):
             h, w = sizes[nodes[l]]

@@ -130,6 +130,7 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
                ) -> StitchParams:
     """images: the *component's* images (res.nodes order), BGR uint8."""
     from simplepanorama_tpu.render import compose
+    from simplepanorama_tpu.utils.timing import stage
     rot = res.rot.copy()
     if cfg.straighten:
         rot = expo.straighten(rot)
@@ -137,40 +138,46 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
     scale = float(res.K[res.center][0, 0])
     kind = _PROJ_KIND[cfg.proj]
 
-    state = compose.warp_all(kind, scale, images, list(rot), list(res.K),
-                             list(res.connectivity))
+    with stage("warp"):
+        state = compose.warp_all(kind, scale, images, list(rot),
+                                 list(res.K), list(res.connectivity))
     params = StitchParams(res=res, rot=rot, proj_kind=kind, scale=scale,
                           state=state)
 
     # stereographic missing-center fix (host detour, then repack)
     if cfg.fix_center and cfg.proj == Projection.STEREOGRAPHIC:
         from simplepanorama_tpu.render import sten_fix
-        sten_fix.apply_center_fix(params, cfg)
+        with stage("sten_fix"):
+            sten_fix.apply_center_fix(params, cfg)
 
     if cancelled is not None and cancelled():
         raise RuntimeError("Process canceled")
 
     st = params.state
     if cfg.blend_intensity:
-        st.intensity = compose.equalize_dev(st.imgs, st.masks, st.offs,
-                                            st.canvas_hw)
+        with stage("equalize"):
+            st.intensity = compose.equalize_dev(st.imgs, st.masks, st.offs,
+                                                st.canvas_hw)
 
     if cfg.gain_compensation:
-        params.gains = compose.gain_dev(st.imgs, st.masks, st.offs,
-                                        st.canvas_hw, res.adj)
+        with stage("gain"):
+            params.gains = compose.gain_dev(st.imgs, st.masks, st.offs,
+                                            st.canvas_hw, res.adj)
 
     if cfg.cut:
         from simplepanorama_tpu.render import graphcut
         imgs_l, masks_l, corners_l = params._lists()
-        seams_l = graphcut.graph_cut(
-            imgs_l, masks_l, corners_l,
-            [n for n, _ in res.order], progress=progress,
-            cancelled=cancelled)
-        st.seam_masks = _pack_state(imgs_l, masks_l, corners_l,
-                                    seams_l).seam_masks
+        with stage("graph_cut"):
+            seams_l = graphcut.graph_cut(
+                imgs_l, masks_l, corners_l,
+                [n for n, _ in res.order], progress=progress,
+                cancelled=cancelled)
+            st.seam_masks = _pack_state(imgs_l, masks_l, corners_l,
+                                        seams_l).seam_masks
     elif cfg.blend == Blending.MULTI_BLEND or cfg.cut_seams:
-        st.seam_masks = compose.dist_cut_dev(st.masks, st.offs,
-                                             st.canvas_hw)
+        with stage("dist_cut"):
+            st.seam_masks = compose.dist_cut_dev(st.masks, st.offs,
+                                                 st.canvas_hw)
 
     return params
 
@@ -195,7 +202,13 @@ def _blend_dispatch(params: StitchParams, cfg: Config,
 def render_preview(params: StitchParams, cfg: Config) -> np.ndarray:
     """Preview assembly (stitch_parameters::get_preview) — device path."""
     from simplepanorama_tpu.render import compose
+    from simplepanorama_tpu.utils.timing import stage
     import jax.numpy as jnp
+    with stage("render_preview"):
+        return _render_preview_inner(params, cfg, compose, jnp)
+
+
+def _render_preview_inner(params, cfg, compose, jnp):
     st = params.state
     imgs = st.imgs
     if cfg.gain_compensation and params.gains is not None:
@@ -287,6 +300,7 @@ def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
     from simplepanorama_tpu.geometry.graph import connected_components
     from simplepanorama_tpu.geometry.focal import focal_from_hom
     from simplepanorama_tpu.stitch import bundle_adjust_stitching
+    from simplepanorama_tpu.utils.timing import stage
 
     cancelled = (cancel_token.cancelled if cancel_token is not None
                  else None)
@@ -297,23 +311,26 @@ def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
 
     if progress is not None:
         progress.set(0.0, "Calculating Keypoints...")
-    images.load_resized(cfg.init_size, cfg.threads)
+    with stage("load"):
+        images.load_resized(cfg.init_size, cfg.threads)
     n_total = len(images.img_data)
     if n_total < 2:
         raise RuntimeError("Need at least two images")
 
-    feats = extract_features(
-        images.img_data, cfg,
-        progress=lambda d: prog(d / 6.0),
-        cancelled=cancelled)
+    with stage("keypoints"):
+        feats = extract_features(
+            images.img_data, cfg,
+            progress=lambda d: prog(d / 6.0),
+            cancelled=cancelled)
 
     if progress is not None:
         progress.set(1 / 6, "Matching Images...")
     sizes = [im.shape[:2] for im in images.img_data]
-    adjres = build_adjacency(
-        feats, sizes, cfg,
-        progress=lambda d: prog(d / 6.0),
-        cancelled=cancelled)
+    with stage("matching"):
+        adjres = build_adjacency(
+            feats, sizes, cfg,
+            progress=lambda d: prog(d / 6.0),
+            cancelled=cancelled)
 
     comps = connected_components(adjres.adj)
     comp = comps[0]
@@ -326,17 +343,19 @@ def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
 
     if progress is not None:
         progress.set(2 / 6, "Adjusting Panorama...")
-    res = bundle_adjust_stitching(
-        comp, adjres, sizes, focal, cfg,
-        progress=lambda d: prog(d / 3.0),
-        cancelled=cancelled)
+    with stage("bundle_adjust"):
+        res = bundle_adjust_stitching(
+            comp, adjres, sizes, focal, cfg,
+            progress=lambda d: prog(d / 3.0),
+            cancelled=cancelled)
 
     if progress is not None:
         progress.set(4 / 6, "Projecting Images...")
     comp_imgs = [images.img_data[g] for g in res.nodes]
-    params = set_config(res, comp_imgs, cfg,
-                        progress=lambda d: prog(d / 3.0),
-                        cancelled=cancelled)
+    with stage("compositing"):
+        params = set_config(res, comp_imgs, cfg,
+                            progress=lambda d: prog(d / 3.0),
+                            cancelled=cancelled)
     if progress is not None:
         progress.set(1.0, "Done")
     return res, params, (len(comp.nodes), n_total)

@@ -132,6 +132,64 @@ def test_lm_converges_relaxed_objective():
     assert int(res.n_accepted) >= 3
 
 
+def test_fused_driver_matches_host_driver():
+    """The fused single-program incremental driver (_incremental_lm in a
+    fori_loop) must land where the per-addition host loop lands."""
+    from simplepanorama_tpu.stitch import (bundle_adjust_stitching,
+                                           _rodrigues_np)
+    from simplepanorama_tpu.adjacency import Adjacency
+    from simplepanorama_tpu.geometry.graph import Component
+    from simplepanorama_tpu.config import Config
+
+    rng = np.random.default_rng(5)
+    n, f = 4, 700.0
+    rotvecs = [np.array([0.0, 0.22 * i, 0.015 * i]) for i in range(n)]
+    K = np.diag([f, f, 1.0])
+    Kinv = np.linalg.inv(K)
+    adj = np.zeros((n, n))
+    hom = np.zeros((n, n, 3, 3))
+    matches = {}
+    for i in range(n - 1):
+        j = i + 1
+        Ri, Rj = _rodrigues_np(rotvecs[i]), _rodrigues_np(rotvecs[j])
+        H = K @ Ri.T @ Rj @ Kinv          # maps image-j pts -> image-i
+        t = rng.uniform(-250, 250, (60, 2))
+        th = np.concatenate([t, np.ones((60, 1))], 1) @ H.T
+        q = th[:, :2] / th[:, 2:3]
+        keep = (np.abs(q) < 300).all(1)
+        q, t = (q[keep] + rng.normal(0, 0.3, (keep.sum(), 2)),
+                t[keep] + rng.normal(0, 0.3, (keep.sum(), 2)))
+        matches[(i, j)] = (q.astype(np.float32), t.astype(np.float32))
+        adj[i, j] = 0.5
+        hom[i, j] = H / H[2, 2]
+        hom[j, i] = np.linalg.inv(H)
+        hom[j, i] /= hom[j, i, 2, 2]
+    adj_sym = adj + adj.T
+    comp = Component(adj=np.triu(adj_sym),
+                     connectivity=adj_sym.sum(1) / np.maximum(
+                         (adj_sym == 0).sum(1), 1),
+                     nodes=list(range(n)))
+    adjres = Adjacency(adj=adj, raw_counts=adj, hom_mat=hom,
+                       matches=matches)
+    sizes = [(480, 640)] * n
+    cfg = Config()
+
+    res_host = bundle_adjust_stitching(comp, adjres, sizes, f, cfg,
+                                       fused=False)
+    res_fused = bundle_adjust_stitching(comp, adjres, sizes, f, cfg,
+                                        fused=True)
+    # both must recover the ground-truth relative rotations
+    for res in (res_host, res_fused):
+        for i in range(1, n):
+            R_rel = res.rot[0].T @ res.rot[i]
+            R_true = _rodrigues_np(rotvecs[0]).T @ _rodrigues_np(rotvecs[i])
+            assert np.abs(R_rel - R_true).max() < 0.02
+    # and agree with each other
+    np.testing.assert_allclose(res_fused.rot, res_host.rot, atol=0.02)
+    np.testing.assert_allclose(res_fused.K[:, 0, 0], res_host.K[:, 0, 0],
+                               rtol=0.03)
+
+
 def test_inactive_cameras_untouched():
     rng = np.random.default_rng(3)
     data, rotvecs, f = _synthetic_problem(rng, n_cams=3)
