@@ -672,5 +672,3 @@ def extract_sift_batch(imgs_u8: jnp.ndarray,
         contrast_thresh=contrast_thresh, edge_thresh=edge_thresh,
         sigma=sigma, first_octave=first_octave)
     return jax.vmap(lambda pyr, hw: core(pyr, hw))(tuple(gauss), valid_hw)
-
-    return jax.lax.map(one, (imgs_u8, valid_hw))

@@ -187,7 +187,9 @@ def apply_intensity_dev(imgs, fields, ratio_shift: int = 1):
 
 
 def gain_dev(imgs, msks, offs, canvas_hw, adj) -> np.ndarray:
-    """Gain compensation on packed blocks (render.gain math)."""
+    """Gain compensation on packed blocks (Brown & Lowe §6 eq. 29,
+    gain::gain_compensation, _gain_compensation.cpp:78-172): pairwise
+    overlap areas/intensities as canvas dot products, tiny host solve."""
     H, W = canvas_hw
     n, Hb, Wb, _ = imgs.shape
     gray = (0.114 * imgs[..., 0] + 0.587 * imgs[..., 1]

@@ -28,8 +28,6 @@ from simplepanorama_tpu.config import Config, Blending, Projection
 from simplepanorama_tpu.stitch import StitchResult
 from simplepanorama_tpu.render import projection as prj
 from simplepanorama_tpu.render import blending as blnd
-from simplepanorama_tpu.render import seams as sms
-from simplepanorama_tpu.render import gain as gn
 from simplepanorama_tpu.render import exposure as expo
 
 _PROJ_KIND = {
