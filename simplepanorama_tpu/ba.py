@@ -127,18 +127,32 @@ def residuals(cams: CamState, data: BAData, active_m: jnp.ndarray,
     return jnp.where(active_m[:, None], r, 0.0)
 
 
-def total_error(cams: CamState, data: BAData, active_m, fast: bool):
-    """Sum over active matches of ||r_m|| (the reference's metric)."""
+def total_error(cams: CamState, data: BAData, active_m, fast: bool,
+                psum_axis=None):
+    """Sum over active matches of ||r_m|| (the reference's metric).
+    With ``psum_axis`` the local sum is all-reduced over that mesh axis
+    (shard_map path — matches sharded, cameras replicated)."""
     r = residuals(cams, data, active_m, fast)
-    return jnp.sum(jnp.linalg.norm(r, axis=-1))
+    e = jnp.sum(jnp.linalg.norm(r, axis=-1))
+    if psum_axis is not None:
+        e = jax.lax.psum(e, psum_axis)
+    return e
 
 
 def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
-              fast: bool, n_cams: int):
+              fast: bool, n_cams: int, psum_axis=None):
     """Build and augment the (Schur-reduced) camera system.
 
     Returns (S (6N,6N), rhs (6N,), Vinv (M,2,2), Wi, Wj, eB) — the last
     four are None-like zeros in fast mode.
+
+    With ``psum_axis`` (shard_map over match shards) the camera-system
+    reductions U, e_A, sum YW^T, sum Y e_B are psummed over the axis;
+    everything per-match (V, W, e_B blocks, and hence the delta_b
+    back-substitution) stays local to the shard holding the match — the
+    Schur trick is exactly what makes that split cheap (SURVEY §5; the
+    reference's async dataflow, _bundle_adjust_main.cpp:192-244, reborn
+    as two collectives).
     """
     N = n_cams
     c6 = _cam6(cams)
@@ -174,6 +188,12 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
                                num_segments=N)
            + jax.ops.segment_sum(jnp.einsum("mab,ma->mb", Aj, r), data.mj,
                                  num_segments=N)).reshape(-1)
+
+    if psum_axis is not None:
+        # THE collective: partial normal equations -> global camera system
+        # (augmentation must scale the GLOBAL diagonal, so psum comes first)
+        U = jax.lax.psum(U, psum_axis)
+        eA = jax.lax.psum(eA, psum_axis)
 
     # augmentation scales (augment, _bundle_adjust_main.cpp:270-324)
     aug = jnp.concatenate([
@@ -214,6 +234,9 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
                                    num_segments=N)
                + jax.ops.segment_sum(jnp.einsum("mab,mb->ma", Yj, eB),
                                      data.mj, num_segments=N)).reshape(-1)
+        if psum_axis is not None:
+            YW = jax.lax.psum(YW, psum_axis)
+            yeb = jax.lax.psum(yeb, psum_axis)
         S = U_aug - YW
         rhs = eA - yeb
 
@@ -261,11 +284,17 @@ class LMResult(NamedTuple):
 
 
 def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
-                lambda0, fast: bool = False, max_iter: int = 50) -> LMResult:
+                lambda0, fast: bool = False, max_iter: int = 50,
+                psum_axis=None) -> LMResult:
     """lm_run body without the jit wrapper — composable inside larger
     compiled programs (the fused incremental driver, stitch._incremental_lm,
     inlines it in a fori_loop so the whole node-addition schedule is one
-    XLA program with zero host round trips)."""
+    XLA program with zero host round trips).
+
+    With ``psum_axis`` the same loop runs under shard_map with match
+    tables (and cams.b) sharded over that mesh axis: the camera system is
+    psum-reduced, the tiny Schur solve is replicated, and the per-match
+    delta_b back-substitution stays shard-local (parallel.dist_ba)."""
     N = cams.focal.shape[0]
     active_m = data.m_valid & cam_active[data.mi] & cam_active[data.mj]
 
@@ -276,7 +305,8 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
     def body(st):
         it, strikes, cur, err_cur, lam, n_acc = st
         S, rhs, Vinv, Wi, Wj, eB = _assemble(
-            cur, data, active_m, lam, cam_active, fast, N)
+            cur, data, active_m, lam, cam_active, fast, N,
+            psum_axis=psum_axis)
         da = _solve_preconditioned(S, rhs)
         if fast:
             db = None
@@ -286,7 +316,8 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
                    + jnp.einsum("mab,ma->mb", Wj, da_n[data.mj]))
             db = jnp.einsum("mab,mb->ma", Vinv, eB - wtd)
         trial = _apply_delta(cur, da, db, data, cam_active, active_m, fast)
-        err_new = total_error(trial, data, active_m, fast)
+        err_new = total_error(trial, data, active_m, fast,
+                              psum_axis=psum_axis)
         ok = (err_new < err_cur) & jnp.isfinite(err_new)
         nxt = jax.tree.map(lambda a, b: jnp.where(ok, a, b), trial, cur)
         err_nxt = jnp.where(ok, err_new, err_cur)
@@ -295,7 +326,7 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
         return (it + 1, strikes, nxt, err_nxt, lam,
                 n_acc + ok.astype(jnp.int32))
 
-    err0 = total_error(cams, data, active_m, fast)
+    err0 = total_error(cams, data, active_m, fast, psum_axis=psum_axis)
     init = (jnp.array(0), jnp.array(0), cams, err0,
             jnp.asarray(lambda0, jnp.float32), jnp.array(0))
     it, strikes, cur, err, lam, n_acc = jax.lax.while_loop(cond, body, init)

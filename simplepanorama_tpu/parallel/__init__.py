@@ -4,9 +4,11 @@ communication backend; std::thread/OpenMP fan-outs map to sharded device
 axes with XLA collectives)."""
 
 from simplepanorama_tpu.parallel.mesh import make_mesh, shard_matches
-from simplepanorama_tpu.parallel.dist_ba import lm_run_sharded
+from simplepanorama_tpu.parallel.dist_ba import (lm_run_sharded,
+                                                 lm_run_shard_map)
 
 __all__ = ["make_mesh", "shard_matches", "lm_run_sharded",
+           "lm_run_shard_map",
            "multi_blend_sharded", "warp_tiled", "halo_exchange",
            "grid_mincut_sharded"]
 

@@ -56,6 +56,31 @@ def test_sharded_lm_matches_single_device():
                                np.asarray(res8.cams.rotvec), atol=5e-3)
 
 
+@pytest.mark.parametrize("fast", [True, False])
+def test_shard_map_lm_loop_matches_single_device(fast):
+    """The FULL LM loop (lambda schedule + 6-strike stop) under shard_map
+    with explicit psums must land where ba.lm_run lands — for BOTH the
+    fast/Lowe and the relaxed (Schur + local delta_b) objectives
+    (_bundle_adjust_main.cpp:346-413, 456-510)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from simplepanorama_tpu.parallel import lm_run_shard_map
+    rng = np.random.default_rng(2)
+    cams, data = _problem(rng)
+    active = jnp.ones(4, bool)
+    res1 = ba.lm_run(cams, data, active, 0.05, fast=fast, max_iter=12)
+    mesh = make_mesh(8)
+    res8 = lm_run_shard_map(cams, data, active, 0.05, mesh, fast=fast,
+                            max_iter=12)
+    np.testing.assert_allclose(float(res1.error), float(res8.error),
+                               rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(res1.cams.rotvec),
+                               np.asarray(res8.cams.rotvec), atol=5e-3)
+    if not fast:
+        # the relaxed objective must actually move the b points
+        assert float(jnp.abs(res8.cams.b - data.t).max()) > 1e-4
+
+
 def test_shard_map_step_reduces_error():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
