@@ -116,19 +116,29 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
                      cancelled: Optional[Callable[[], bool]] = None,
                      ) -> np.ndarray:
     """Pass 1: ratio-test match counts for all upper-triangular pairs."""
+    from simplepanorama_tpu.parallel.mesh import (pipeline_mesh,
+                                                  pad_leading, shard_leading)
     n = len(feats)
     counts = np.zeros((n, n))
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     xy, desc, valid = _stack_features(feats)
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        chunk = pad_leading(chunk, mesh.size)
     total = max(1, len(pairs))
     for s in range(0, len(pairs), chunk):
         if cancelled is not None and cancelled():
             raise RuntimeError("Process canceled")
         blk = pairs[s:s + chunk]
-        qi = jnp.asarray([p[0] for p in blk])
-        ti = jnp.asarray([p[1] for p in blk])
-        _, _, nm = match_pair_batch(desc[qi], desc[ti], valid[qi], valid[ti],
-                                    cfg.max_matches_per_pair)
+        # pad the final block to the chunk size: one compiled shape, and
+        # the pair axis stays divisible by the mesh
+        blk_p = blk + [blk[-1]] * (chunk - len(blk))
+        qi = jnp.asarray([p[0] for p in blk_p])
+        ti = jnp.asarray([p[1] for p in blk_p])
+        args = (desc[qi], desc[ti], valid[qi], valid[ti])
+        if mesh is not None:
+            args = shard_leading(args, mesh)
+        _, _, nm = match_pair_batch(*args, cfg.max_matches_per_pair)
         nm = np.asarray(nm)
         for (i, j), c in zip(blk, nm):
             counts[i, j] = float(c)
@@ -179,6 +189,12 @@ def build_adjacency(feats: Sequence[Features],
     if not pairs:
         return result
 
+    from simplepanorama_tpu.parallel.mesh import (pipeline_mesh,
+                                                  pad_leading, shard_leading)
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        chunk = pad_leading(chunk, mesh.size)
+
     xy, desc, valid = _stack_features(feats)
     hw = jnp.asarray(np.array(sizes, np.int32))  # (N, 2) as (h, w)
     master = jax.random.PRNGKey(seed)
@@ -193,9 +209,14 @@ def build_adjacency(feats: Sequence[Features],
         qi = jnp.asarray([p[0] for p in blk_p])
         ti = jnp.asarray([p[1] for p in blk_p])
         keys = jax.random.split(jax.random.fold_in(master, s), len(blk_p))
+        # pair-batch data parallelism over the mesh (the reference's
+        # std::thread pool over (i,j) pairs, _panorama.cpp:385-436)
+        args = (desc[qi], desc[ti], xy[qi], xy[ti], valid[qi], valid[ti],
+                hw[qi], hw[ti], keys)
+        if mesh is not None:
+            args = shard_leading(args, mesh)
         accept, weight, H, kq, kt, kv = _verify_pairs(
-            desc[qi], desc[ti], xy[qi], xy[ti], valid[qi], valid[ti],
-            hw[qi], hw[ti], keys,
+            *args,
             n_iter=cfg.RANSAC_iterations,
             match_cap=cfg.max_matches_per_pair,
             keep_cap=cfg.max_keypoints,

@@ -79,16 +79,29 @@ def extract_features(images: Sequence[np.ndarray],
     Wp = (Wm + 7) // 8 * 8
 
     n = len(images)
-    batch = np.zeros((n, Hp, Wp, 3), np.uint8)
-    hw = np.zeros((n, 2), np.int32)
+    # mesh-aware batch: pad the image axis to the mesh size so the ONE
+    # compiled program shards data-parallel over devices (the TPU
+    # equivalent of the reference's one-async-task-per-image fan-out,
+    # _image.cpp:125-149 — SURVEY §2.7)
+    from simplepanorama_tpu.parallel.mesh import (pipeline_mesh,
+                                                  pad_leading,
+                                                  shard_leading)
+    mesh = pipeline_mesh()
+    nb = pad_leading(n, mesh.size) if mesh is not None else n
+    batch = np.zeros((nb, Hp, Wp, 3), np.uint8)
+    hw = np.ones((nb, 2), np.int32) * 8   # padded slots: tiny valid area
     for i, im in enumerate(images):
         h, w = im.shape[:2]
         batch[i] = np.pad(im, ((0, Hp - h), (0, Wp - w), (0, 0)),
                           mode="edge")
         hw[i] = (h, w)
 
+    batch_d, hw_d = jnp.asarray(batch), jnp.asarray(hw)
+    if mesh is not None:
+        batch_d, hw_d = shard_leading((batch_d, hw_d), mesh)
+
     fb = extract_sift_batch(
-        jnp.asarray(batch), jnp.asarray(hw),
+        batch_d, hw_d,
         max_kp=K,
         n_layers=cfg.nOctaveLayers,
         contrast_thresh=float(cfg.contrastThreshold),

@@ -31,6 +31,32 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+# Pipeline-wide switch: when False, run_pipeline and its stages stay
+# single-device even if more devices are attached (used by parity tests to
+# produce the reference single-device result in the same process).
+PIPELINE_SHARDING = True
+
+
+def pipeline_mesh(axis: str = "data") -> Optional[Mesh]:
+    """The mesh the pipeline stages shard over, or None when running
+    single-device (one device attached, or sharding disabled)."""
+    if not PIPELINE_SHARDING or jax.device_count() <= 1:
+        return None
+    return make_mesh(axis=axis)
+
+
+def pad_leading(n: int, d: int) -> int:
+    """Smallest multiple of d that is >= n."""
+    return (n + d - 1) // d * d
+
+
+def shard_leading(tree, mesh: Mesh, axis: str = "data"):
+    """device_put every array with its LEADING axis sharded over ``axis``
+    (leading dims must be divisible by the mesh size)."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def shard_matches(data, mesh: Mesh, axis: str = "data"):
     """Place BAData with the match axis sharded across ``axis`` (camera
     tables are tiny and live replicated)."""

@@ -32,6 +32,11 @@ from simplepanorama_tpu.render.blending import (
 from simplepanorama_tpu.geometry.canvas import get_pan_dimension
 
 
+def _mesh():
+    from simplepanorama_tpu.parallel.mesh import pipeline_mesh
+    return pipeline_mesh()
+
+
 @dataclasses.dataclass
 class ComposeState:
     """Packed device blocks + host metadata."""
@@ -247,12 +252,11 @@ def blend_dev(method: str, state: ComposeState, imgs, bands: int,
                        state.canvas_hw)
     elif method == "SIMPLE_BLEND":
         out = simple_blend(imgs, msks_f, state.offs, state.canvas_hw)
-    elif jax.device_count() > 1:
-        from simplepanorama_tpu.parallel.mesh import make_mesh
+    elif _mesh() is not None:
         from simplepanorama_tpu.parallel.tiled_compose import \
             multi_blend_sharded
         out = multi_blend_sharded(imgs, seams.astype(jnp.float32), msks_f,
-                                  state.offs, state.canvas_hw, make_mesh(),
+                                  state.offs, state.canvas_hw, _mesh(),
                                   bands=bands, sigma=float(sigma))
     else:
         out = multi_blend(imgs, seams.astype(jnp.float32), msks_f,

@@ -95,6 +95,8 @@ def _solve_cut(wh, wv, excess, obj, mask2):
     (column-sharded over the mesh when >1 device is attached), the native
     Dinic backend on host CPU (the reference's BK slot)."""
     import jax as _jax
+    from simplepanorama_tpu.parallel.mesh import pipeline_mesh
+    mesh = pipeline_mesh()
     if _jax.default_backend() == "cpu":
         from simplepanorama_tpu.native import grid_mincut_native
         try:
@@ -104,11 +106,10 @@ def _solve_cut(wh, wv, excess, obj, mask2):
             side = jnp.asarray(side)
         except Exception:
             side = grid_mincut(wh, wv, excess, obj)
-    elif _jax.device_count() > 1:
-        from simplepanorama_tpu.parallel.mesh import make_mesh
+    elif mesh is not None:
         from simplepanorama_tpu.parallel.dist_mincut import \
             grid_mincut_sharded
-        side = grid_mincut_sharded(wh, wv, excess, obj, make_mesh())
+        side = grid_mincut_sharded(wh, wv, excess, obj, mesh)
     else:
         side = grid_mincut(wh, wv, excess, obj)
     return jnp.where(obj, side, mask2 > 0)

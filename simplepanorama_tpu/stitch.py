@@ -200,6 +200,24 @@ def bundle_adjust_stitching(comp: Component,
             ppal=jnp.zeros((n, 2), jnp.float32),
             rotvec=jnp.zeros((n, 3), jnp.float32),
             b=data.t)
+        # mesh-aware BA: match tables (and the per-match b params) sharded
+        # over the mesh, cameras replicated; XLA's partitioner turns the
+        # normal-equation segment-sums into psums (the reference's OpenMP
+        # match chunks, _bundle_adjust_main.cpp:192-244 — SURVEY §2.7).
+        # Match capacity is a multiple of 512 (build_ba_data), so it
+        # divides any power-of-two mesh.
+        from simplepanorama_tpu.parallel.mesh import pipeline_mesh
+        mesh = pipeline_mesh()
+        if mesh is not None and data.mi.shape[0] % mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            msh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            data = jax.tree.map(lambda x: jax.device_put(x, msh), data)
+            cams0 = ba.CamState(
+                focal=jax.device_put(cams0.focal, rep),
+                ppal=jax.device_put(cams0.ppal, rep),
+                rotvec=jax.device_put(cams0.rotvec, rep),
+                b=jax.device_put(cams0.b, msh))
         cams = _incremental_lm(
             cams0, data, jnp.asarray(order[0][0], jnp.int32),
             jnp.asarray(order_nodes), jnp.asarray(order_conns),
