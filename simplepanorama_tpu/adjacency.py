@@ -104,9 +104,15 @@ def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
 
 
 def _stack_features(feats: Sequence[Features]):
-    xy = jnp.asarray(np.stack([f.xy for f in feats]))
-    desc = jnp.asarray(np.stack([f.desc for f in feats]))
-    valid = jnp.asarray(np.stack([f.valid for f in feats]))
+    """Stacked device tables; reuses the extraction program's outputs
+    when available (features.FeatureSet) so descriptors don't round-trip
+    the device link between the two stages."""
+    batch = getattr(feats, "device_batch", None)
+    if batch is not None:
+        return batch
+    xy = jnp.asarray(np.stack([np.asarray(f.xy) for f in feats]))
+    desc = jnp.asarray(np.stack([np.asarray(f.desc) for f in feats]))
+    valid = jnp.asarray(np.stack([np.asarray(f.valid) for f in feats]))
     return xy, desc, valid
 
 

@@ -281,6 +281,7 @@ class LMResult(NamedTuple):
     error: jnp.ndarray        # final accepted sum-of-norms error
     lam: jnp.ndarray
     n_accepted: jnp.ndarray
+    n_iter: jnp.ndarray       # LM trial steps executed (accepted+rejected)
 
 
 def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
@@ -330,7 +331,8 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
     init = (jnp.array(0), jnp.array(0), cams, err0,
             jnp.asarray(lambda0, jnp.float32), jnp.array(0))
     it, strikes, cur, err, lam, n_acc = jax.lax.while_loop(cond, body, init)
-    return LMResult(cams=cur, error=err, lam=lam, n_accepted=n_acc)
+    return LMResult(cams=cur, error=err, lam=lam, n_accepted=n_acc,
+                    n_iter=it)
 
 
 @functools.partial(jax.jit, static_argnames=("fast", "max_iter"))

@@ -86,6 +86,8 @@ def main(argv=None) -> int:
     p.add_argument("--crop", type=int, nargs=4, metavar=("X", "Y", "W", "H"),
                    help="crop ROI in preview coordinates")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--timing", action="store_true",
+                   help="print the per-stage timing report after stitching")
     _add_config_flags(p)
     args = p.parse_args(argv)
 
@@ -119,10 +121,36 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     pano = Panorama(args.images, progress=report)
-    pano.stitch(cfg)
+
+    # interactive cancel: first Ctrl-C flips the pipeline's cancel token
+    # (the GTK app's cancel button -> atomic cancel_var,
+    # _image_viewer.cpp:45-73); a second Ctrl-C force-exits
+    import signal
+    prev_handler = signal.getsignal(signal.SIGINT)
+
+    def on_sigint(signum, frame):
+        if pano.cancel_token.cancelled():
+            raise KeyboardInterrupt
+        print("\ncancelling... (Ctrl-C again to force quit)",
+              file=sys.stderr)
+        pano.cancel()
+
+    signal.signal(signal.SIGINT, on_sigint)
+    try:
+        pano.stitch(cfg)
+    except RuntimeError as e:
+        if "cancel" in str(e).lower():
+            print("canceled", file=sys.stderr)
+            return 130
+        raise
+    finally:
+        signal.signal(signal.SIGINT, prev_handler)
     if not args.quiet:
         print(f"\nconnected {pano.connected[0]} of {pano.connected[1]} "
               f"images in {time.time() - t0:.1f}s")
+    if args.timing:
+        from simplepanorama_tpu.utils.timing import global_timer
+        print(global_timer().report())
 
     if args.full_res:
         out = pano.get_panorama(tuple(args.crop) if args.crop else None)

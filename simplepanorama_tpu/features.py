@@ -39,7 +39,15 @@ class Features:
 
     @property
     def count(self) -> int:
-        return int(self.valid.sum())
+        return int(np.asarray(self.valid).sum())
+
+
+class FeatureSet(list):
+    """List of per-image Features, plus the stacked DEVICE tables the
+    extraction program produced — the matching stage consumes those
+    directly, so descriptors never round-trip over the (possibly
+    network-attached) device link between the two stages."""
+    device_batch = None   # (xy, desc, valid) jnp arrays, center-origin
 
 
 def _to_gray(img_bgr: np.ndarray) -> np.ndarray:
@@ -67,14 +75,38 @@ def extract_features(images: Sequence[np.ndarray],
     ``progress`` receives a per-image fraction delta; ``cancelled`` is
     polled between images (the reference polls its atomic between async
     tasks, _image.cpp:130).
+
+    Multi-host: each process extracts only its contiguous shard of the
+    image list and the per-image feature tables (tiny vs pixels) are
+    all-gathered over DCN (SURVEY §5 workload split; the reference's
+    per-image std::async fan-out scaled across hosts).
     """
     if not images:
         return []
     if cancelled is not None and cancelled():
         raise RuntimeError("Process canceled")
+    import jax as _jax
+    if _jax.process_count() > 1:
+        arrays = _extract_multihost(images, cfg)
+        device_batch = None
+    else:
+        arrays = _extract_arrays(images, cfg)
+        device_batch = (arrays[0], arrays[3], arrays[4])  # xy, desc, valid
+    out = FeatureSet(_to_features(images, arrays, progress))
+    out.device_batch = device_batch
+    return out
+
+
+def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
+                    pad_shape=None):
+    """One sharded SIFT dispatch over the (padded) image batch; returns
+    host-side (xy, size, response, desc, valid) arrays for len(images)."""
     K = cfg.sift_max_features()
-    Hm = max(im.shape[0] for im in images)
-    Wm = max(im.shape[1] for im in images)
+    if pad_shape is None:
+        Hm = max(im.shape[0] for im in images)
+        Wm = max(im.shape[1] for im in images)
+    else:
+        Hm, Wm = pad_shape
     Hp = (Hm + 7) // 8 * 8
     Wp = (Wm + 7) // 8 * 8
 
@@ -107,22 +139,58 @@ def extract_features(images: Sequence[np.ndarray],
         contrast_thresh=float(cfg.contrastThreshold),
         edge_thresh=float(cfg.edgeThreshold),
         sigma=float(cfg.sigma_sift))
-    xy_all = np.array(fb.xy)
-    size_all = np.asarray(fb.size)
-    resp_all = np.asarray(fb.response)
-    desc_all = np.asarray(fb.desc)
-    valid_all = np.asarray(fb.valid)
+    # center-origin shift ON DEVICE (integer halves — the reference's
+    # ``pt.x - img.cols / 2`` convention), invalid slots zeroed, so the
+    # returned tables are directly consumable by the matching stage
+    xy = _center_shift(fb.xy, fb.valid, hw_d)
+    return (xy[:n], fb.size[:n], fb.response[:n], fb.desc[:n],
+            fb.valid[:n])
 
+
+@jax.jit
+def _center_shift(xy, valid, hw):
+    half = jnp.stack([hw[:, 1] // 2, hw[:, 0] // 2], -1).astype(jnp.float32)
+    return jnp.where(valid[..., None], xy - half[:, None, :], 0.0)
+
+
+def _extract_multihost(images: Sequence[np.ndarray], cfg: Config):
+    """Per-host contiguous image shards + all-gather of the feature
+    tables (parallel.multihost.host_shard over DCN)."""
+    import jax as _jax
+    from jax.experimental import multihost_utils
+    from simplepanorama_tpu.parallel.multihost import host_shard
+    n = len(images)
+    nproc = _jax.process_count()
+    per = (n + nproc - 1) // nproc
+    idx = host_shard(list(range(n)))
+    local = [images[i] for i in idx]
+    # all hosts must dispatch identical shapes: common pad + shard padding
+    Hm = max(im.shape[0] for im in images)
+    Wm = max(im.shape[1] for im in images)
+    while len(local) < per:
+        local.append(np.zeros((8, 8, 3), np.uint8))
+    arrays = _extract_arrays(local, cfg, pad_shape=(Hm, Wm))
+    gathered = multihost_utils.process_allgather(arrays)
+    # (nproc, per, ...) -> contiguous order -> first n
+    return tuple(np.asarray(g).reshape((-1,) + g.shape[2:])[:n]
+                 for g in gathered)
+
+
+def _to_features(images, arrays,
+                 progress: Optional[Callable[[float], None]] = None
+                 ) -> List[Features]:
+    """Host-side per-image views (coordinates already center-origin).
+    One bulk transfer for the table the host actually reads; descriptors
+    ride along for API parity (the pipeline itself matches from the
+    device tables in FeatureSet.device_batch)."""
+    xy_all, size_all, resp_all, desc_all, valid_all = [
+        np.asarray(a) for a in arrays]
+    n = len(images)
     out: List[Features] = []
-    for i, im in enumerate(images):
-        h, w = im.shape[:2]
-        xy = xy_all[i]
-        # center-origin shift with integer halves (reference convention)
-        xy[:, 0] -= w // 2
-        xy[:, 1] -= h // 2
-        xy[~valid_all[i]] = 0.0
-        out.append(Features(xy=xy, size=size_all[i], response=resp_all[i],
-                            desc=desc_all[i], valid=valid_all[i]))
+    for i in range(n):
+        out.append(Features(xy=xy_all[i], size=size_all[i],
+                            response=resp_all[i], desc=desc_all[i],
+                            valid=valid_all[i]))
         if progress is not None:
             progress(1.0 / n)
     return out

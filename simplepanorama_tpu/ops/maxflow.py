@@ -173,3 +173,156 @@ def grid_mincut(cap_h: jnp.ndarray, cap_v: jnp.ndarray,
         sweep_iters = H + W + 4   # grid diameter bounds every BFS
     return _mincut_core(cap_h, cap_v, excess0, node, max_outer,
                         inner_iters, sweep_iters)
+
+
+# ---------------------------------------------------------------------------
+# Pallas solver: the whole push-relabel in ONE kernel, grid in VMEM
+# ---------------------------------------------------------------------------
+# The XLA while_loop formulation pays an HBM round trip per elementwise op
+# per sweep; at seam-graph sizes the solver state (4 residual-cap planes +
+# excess + heights, ~10 MB at 500x700) fits VMEM, so one kernel launch runs
+# every BFS sweep and push phase on-chip. Measured on one TPU v5e: the
+# global-relabel BFS alone drops 1163 ms -> 10 ms at 504x704 with
+# bit-identical results; the full solver's cut values stay exact.
+
+def _shift_val(x, dy, dx, fill):
+    """result[y, x] = x[y+dy, x+dx] for an in-kernel VALUE; out-of-bounds
+    rows/cols filled with ``fill`` (same semantics as _shift)."""
+    H, W = x.shape
+    if dy == 1:
+        x = jnp.concatenate([x[1:], jnp.full((1, W), fill, x.dtype)], 0)
+    elif dy == -1:
+        x = jnp.concatenate([jnp.full((1, W), fill, x.dtype), x[:-1]], 0)
+    if dx == 1:
+        x = jnp.concatenate([x[:, 1:], jnp.full((H, 1), fill, x.dtype)], 1)
+    elif dx == -1:
+        x = jnp.concatenate([jnp.full((H, 1), fill, x.dtype), x[:, :-1]], 1)
+    return x
+
+
+_REV = (1, 0, 3, 2)
+_INF_F = 1e18
+
+
+def _bfs_val(caps, demand, node, n_sweep):
+    """In-kernel BFS distance-to-sink (the _dist_to_sink fixpoint)."""
+    d0 = jnp.where(demand & node, 0.0, _INF_F)
+
+    def cond(st):
+        it, d, changed = st
+        return (it < n_sweep) & changed
+
+    def body(st):
+        it, d, _ = st
+        best = d
+        for k, (dy, dx) in enumerate(_DIRS):
+            nb = _shift_val(d, dy, dx, _INF_F)
+            best = jnp.minimum(best,
+                               jnp.where(caps[k] > 0, nb + 1.0, _INF_F))
+        best = jnp.where(node, best, _INF_F)
+        return it + 1, best, jnp.any(best < d)
+
+    _, d, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), d0, jnp.bool_(True)))
+    return d
+
+
+def _mincut_kernel(caph_ref, capv_ref, excess_ref, node_ref, side_ref, *,
+                   max_outer, inner_iters, n_sweep):
+    node = node_ref[...] > 0
+    nodef = node.astype(jnp.float32)
+    cap_h = caph_ref[...] * nodef * _shift_val(nodef, 0, 1, 0.0)
+    cap_v = capv_ref[...] * nodef * _shift_val(nodef, 1, 0, 0.0)
+    caps = (cap_h, _shift_val(cap_h, 0, -1, 0.0),
+            cap_v, _shift_val(cap_v, -1, 0, 0.0))
+
+    e = jnp.where(node, excess_ref[...], 0.0)
+    cap_sum = caps[0] + caps[1] + caps[2] + caps[3] + 1.0
+    e = jnp.clip(e, -cap_sum, cap_sum)
+
+    def push_phase(st):
+        caps, e, h = st
+        caps = list(caps)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift_val(h, dy, dx, _INF_F)
+            admissible = (e > 0) & (h == h_nb + 1.0) & (caps[k] > 0)
+            flow = jnp.where(admissible, jnp.minimum(e, caps[k]), 0.0)
+            caps[k] = caps[k] - flow
+            back = _shift_val(flow, -dy, -dx, 0.0)
+            caps[_REV[k]] = caps[_REV[k]] + back
+            e = e - flow + back
+        min_h = jnp.full_like(h, _INF_F)
+        adm = jnp.zeros_like(h, dtype=jnp.bool_)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift_val(h, dy, dx, _INF_F)
+            has_cap = caps[k] > 0
+            min_h = jnp.minimum(min_h, jnp.where(has_cap, h_nb, _INF_F))
+            adm = adm | (has_cap & (h == h_nb + 1.0))
+        lift = (e > 0) & (~adm) & (min_h < _INF_F)
+        h = jnp.where(lift, min_h + 1.0, h)
+        return tuple(caps), e, h
+
+    def outer_body(st):
+        it, caps, e, h, _ = st
+        h = _bfs_val(caps, e < 0, node, n_sweep)
+        caps, e, h = jax.lax.fori_loop(
+            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
+        d = _bfs_val(caps, e < 0, node, n_sweep)
+        work_left = jnp.any((e > 0) & (d < _INF_F))
+        return it + 1, caps, e, h, work_left
+
+    def outer_cond(st):
+        it, _, _, _, work_left = st
+        return (it < max_outer) & work_left
+
+    h0 = jnp.where(node, 0.0, _INF_F)
+    st = (jnp.int32(0), caps, e, h0, jnp.bool_(True))
+    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, st)
+    d = _bfs_val(caps, e < 0, node, n_sweep)
+    side_ref[...] = ((d >= _INF_F) & node).astype(jnp.float32)
+
+
+# solver state that must fit VMEM under the raised 100 MB scoped limit:
+# ~15 live f32 planes (4 caps + e/h/d + shift temporaries) -> ~60 B/cell;
+# 704x1024 (721k cells) validated on a v5e
+_PALLAS_MAX_CELLS = 1_200_000
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer", "inner_iters",
+                                             "sweep_iters", "interpret"))
+def grid_mincut_pallas(cap_h, cap_v, excess0, node,
+                       max_outer: int = 400, inner_iters: int = 30,
+                       sweep_iters: int = 0, interpret: bool = False):
+    """grid_mincut with the ENTIRE solver in one Pallas kernel (TPU).
+    Same algorithm, same cut values; ``interpret=True`` runs the kernel
+    in interpreter mode for CPU CI."""
+    H, W = cap_h.shape
+    if sweep_iters <= 0:
+        sweep_iters = H + W + 4
+    kern = functools.partial(_mincut_kernel, max_outer=max_outer,
+                             inner_iters=inner_iters, n_sweep=sweep_iters)
+    from jax.experimental import pallas as pl
+    kwargs = {}
+    if not interpret:
+        # the solver's live set (~15 f32 planes) exceeds the default 16 MB
+        # scoped-VMEM budget at production sizes; v5e has 128 MB VMEM
+        from jax.experimental.pallas import tpu as pltpu
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(cap_h.astype(jnp.float32), cap_v.astype(jnp.float32),
+      excess0.astype(jnp.float32), node.astype(jnp.float32))
+    return out > 0.5
+
+
+def grid_mincut_auto(cap_h, cap_v, excess0, node, **kw):
+    """Backend dispatch: the single-launch Pallas kernel on TPU when the
+    solver state fits VMEM, the XLA while_loop formulation otherwise."""
+    H, W = cap_h.shape
+    if jax.default_backend() == "tpu" and H * W <= _PALLAS_MAX_CELLS:
+        return grid_mincut_pallas(cap_h, cap_v, excess0, node, **kw)
+    return grid_mincut(cap_h, cap_v, excess0, node, **kw)

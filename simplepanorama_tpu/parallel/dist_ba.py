@@ -75,7 +75,7 @@ def lm_run_shard_map(cams: ba.CamState, data: ba.BAData,
     (pad M to a multiple of the axis size)."""
     data_specs, cam_specs, rep = _specs(axis)
     out_specs = ba.LMResult(cams=cam_specs, error=rep, lam=rep,
-                            n_accepted=rep)
+                            n_accepted=rep, n_iter=rep)
     body = functools.partial(ba.lm_run_impl, fast=fast, max_iter=max_iter,
                              psum_axis=axis)
     f = shard_map(body, mesh=mesh,

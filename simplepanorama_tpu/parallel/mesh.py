@@ -39,10 +39,19 @@ PIPELINE_SHARDING = True
 
 def pipeline_mesh(axis: str = "data") -> Optional[Mesh]:
     """The mesh the pipeline stages shard over, or None when running
-    single-device (one device attached, or sharding disabled)."""
-    if not PIPELINE_SHARDING or jax.device_count() <= 1:
+    single-device (one device attached, or sharding disabled).
+
+    Uses the LOCAL devices: in multi-process mode each host runs the
+    single-controller pipeline over its own devices and the image list is
+    split at the host level (multihost.host_shard) — device_put with a
+    non-addressable global sharding is not possible for host-local data.
+    """
+    if not PIPELINE_SHARDING:
         return None
-    return make_mesh(axis=axis)
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), (axis,))
 
 
 def pad_leading(n: int, d: int) -> int:

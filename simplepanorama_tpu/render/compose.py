@@ -262,4 +262,11 @@ def blend_dev(method: str, state: ComposeState, imgs, bands: int,
         out = multi_blend(imgs, seams.astype(jnp.float32), msks_f,
                           state.offs, state.canvas_hw,
                           bands=bands, sigma=float(sigma))
-    return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+    # clip+cast on device: the canvas leaves the chip as uint8 (4x less
+    # tunnel traffic than the f32 canvas)
+    return np.asarray(_to_u8(out))
+
+
+@jax.jit
+def _to_u8(x):
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)

@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from simplepanorama_tpu.ops.maxflow import grid_mincut
+from simplepanorama_tpu.ops.maxflow import grid_mincut, grid_mincut_auto
 from simplepanorama_tpu.geometry.canvas import get_pan_dimension
 
 _SEED_W = 5000.0
@@ -111,7 +111,9 @@ def _solve_cut(wh, wv, excess, obj, mask2):
             grid_mincut_sharded
         side = grid_mincut_sharded(wh, wv, excess, obj, mesh)
     else:
-        side = grid_mincut(wh, wv, excess, obj)
+        # single accelerator: whole-solver Pallas kernel when the state
+        # fits VMEM, XLA while_loop otherwise
+        side = grid_mincut_auto(wh, wv, excess, obj)
     return jnp.where(obj, side, mask2 > 0)
 
 

@@ -50,6 +50,18 @@ def estimate_circle(masks, corners) -> Optional[Tuple[Tuple[int, int], float]]:
     for i in range(1, ncomp):
         if stats[i, cv2.CC_STAT_AREA] < 100:
             continue
+        # robustness deviation from the reference (analyzeComponentsWithCircles,
+        # _util.cpp:8-81): skip components touching the canvas border — the
+        # OUTER empty region always does, and its min-enclosing circle is
+        # canvas-centered with radius ~half-diag, so on symmetric (e.g.
+        # full-360) planets it wins the center-distance tie and the radius
+        # cutoff then rejects the fix entirely. A genuine central hole is
+        # enclosed by content and never reaches the border.
+        x0b, y0b = stats[i, cv2.CC_STAT_LEFT], stats[i, cv2.CC_STAT_TOP]
+        wb, hb = stats[i, cv2.CC_STAT_WIDTH], stats[i, cv2.CC_STAT_HEIGHT]
+        if x0b == 0 or y0b == 0 or x0b + wb >= d.width \
+                or y0b + hb >= d.height:
+            continue
         comp = (labels == i).astype(np.uint8) * 255
         contours, _ = cv2.findContours(comp, cv2.RETR_EXTERNAL,
                                        cv2.CHAIN_APPROX_SIMPLE)

@@ -100,11 +100,13 @@ def _orthogonalize_np(M: np.ndarray) -> np.ndarray:
     return U @ Vt
 
 
-@functools.partial(jax.jit, static_argnames=("fast", "n_steps"))
-def _incremental_lm(cams0: ba.CamState, data: ba.BAData, first,
-                    order_nodes, order_conns, H_pair, lambda0,
-                    fast: bool, n_steps: int):
-    """The ENTIRE incremental node-addition schedule as one XLA program.
+@functools.partial(jax.jit, static_argnames=("fast",))
+def _incremental_lm(cams0: ba.CamState, active0, data: ba.BAData,
+                    order_nodes, order_conns, H_pair, lambda0, lo, hi,
+                    fast: bool):
+    """Node-additions [lo, hi) of the incremental schedule as one XLA
+    program (dynamic fori_loop bounds, so ONE compiled program serves
+    every chunk of the schedule).
 
     The host driver (below) used to round-trip camera state to the host
     after every LM run only to re-feed it for the next addition; over a
@@ -114,10 +116,12 @@ def _incremental_lm(cams0: ba.CamState, data: ba.BAData, first,
     on-device (inherit focal, zero principal point, SVD rotation init from
     the pairwise RANSAC homography — stch::bundleadjust_stitching,
     /root/reference/src/math/_stitch.cpp:238-296) and runs the full LM
-    while_loop (ba.lm_run_impl) over the active set.
+    while_loop (ba.lm_run_impl) over the active set. The (cams, active)
+    carry stays on device between chunk dispatches, so chunking costs one
+    host sync per chunk and no data motion — which buys back the
+    reference's per-node cancellation poll (_stitch.cpp:240) and honest
+    per-chunk progress that the round-1 single-dispatch design lost.
     """
-    N = cams0.focal.shape[0]
-    active0 = jnp.zeros(N, bool).at[first].set(True)
 
     def step(l, st):
         cams, active = st
@@ -139,8 +143,7 @@ def _incremental_lm(cams0: ba.CamState, data: ba.BAData, first,
         res = ba.lm_run_impl(cams, data, active, lambda0, fast=fast)
         return (res.cams, active)
 
-    cams, active = jax.lax.fori_loop(1, n_steps, step, (cams0, active0))
-    return cams
+    return jax.lax.fori_loop(lo, hi, step, (cams0, active0))
 
 
 def bundle_adjust_stitching(comp: Component,
@@ -195,6 +198,14 @@ def bundle_adjust_stitching(comp: Component,
         H_pair = np.tile(np.eye(3, dtype=np.float32), (L, 1, 1))
         for l in range(1, L):
             H_pair[l] = local_H(order[l][1], order[l][0]).astype(np.float32)
+        # chunked dispatch: the reference polls its cancel atomic per
+        # node-addition (_stitch.cpp:240); small chunks restore that
+        # granularity and honest progress while the camera carry stays
+        # on device (no data motion between chunks, one sync each)
+        # ~4 progress ticks across the schedule: enough cancellation
+        # granularity (the reference polls per node) without paying a
+        # host sync per node on a network-attached device
+        chunk = max(1, (L - 1 + 3) // 4)
         cams0 = ba.CamState(
             focal=jnp.full((n,), focal, jnp.float32),
             ppal=jnp.zeros((n, 2), jnp.float32),
@@ -218,12 +229,36 @@ def bundle_adjust_stitching(comp: Component,
                 ppal=jax.device_put(cams0.ppal, rep),
                 rotvec=jax.device_put(cams0.rotvec, rep),
                 b=jax.device_put(cams0.b, msh))
-        cams = _incremental_lm(
-            cams0, data, jnp.asarray(order[0][0], jnp.int32),
-            jnp.asarray(order_nodes), jnp.asarray(order_conns),
-            jnp.asarray(H_pair), jnp.asarray(float(cfg.lambda_),
-                                             jnp.float32),
-            fast=bool(cfg.fast), n_steps=L)
+        active = jnp.zeros(n, bool).at[order[0][0]].set(True)
+        on = jnp.asarray(order_nodes)
+        oc = jnp.asarray(order_conns)
+        Hp = jnp.asarray(H_pair)
+        lam0 = jnp.asarray(float(cfg.lambda_), jnp.float32)
+        # double-buffered dispatch: keep up to two chunks in flight so the
+        # per-chunk host sync (one RTT on a network-attached device)
+        # overlaps the device computing the NEXT chunk — cancellation can
+        # still stop the schedule within ~one chunk, and progress ticks on
+        # real chunk completions (the dispatch is async; the carry is a
+        # device future the next chunk consumes without host round trips)
+        cams = cams0
+        inflight = []   # [(cams_future, span)] enqueued, not yet synced
+        lo = 1
+        while lo < L or inflight:
+            while lo < L and len(inflight) < 2:
+                hi = min(L, lo + chunk)
+                cams, active = _incremental_lm(
+                    cams, active, data, on, oc, Hp, lam0,
+                    jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
+                    fast=bool(cfg.fast))
+                inflight.append((cams, hi - lo))
+                lo = hi
+            done_cams, span = inflight.pop(0)
+            jax.block_until_ready(done_cams.focal)
+            if progress is not None:
+                progress(span / (L - 1))
+            if cancelled is not None and cancelled():
+                # abandon un-synced chunks (the device drains them idly)
+                raise RuntimeError("Process canceled")
         focal_new = np.asarray(cams.focal, np.float64)
         ppal_new = np.asarray(cams.ppal, np.float64)
         rv_new = np.asarray(cams.rotvec, np.float64)
@@ -234,9 +269,6 @@ def bundle_adjust_stitching(comp: Component,
                                  [0, focal_new[i], ppal_new[i, 1]],
                                  [0, 0, 1.0]])
                 rot[i] = _rodrigues_np(rv_new[i])
-        if progress is not None:
-            for _ in range(L - 1):
-                progress(1.0 / (L - 1))
         Ks = K.copy()
         for l in range(n):
             h, w = sizes[nodes[l]]

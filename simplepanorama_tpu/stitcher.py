@@ -261,6 +261,23 @@ def render_full(params: StitchParams, cfg: Config,
         params.proj_kind, scale, imgs_f, list(params.rot), list(K_scaled),
         list(res.connectivity))
 
+    # stereographic center re-fix at FULL resolution (return_full,
+    # _panorama.cpp:292-311): fresh circle estimate on the full-res masks,
+    # disk_reproj of the full-res warp, inpaint anchor for after the blend
+    sten_full = None
+    if cfg.fix_center and cfg.proj == Projection.STEREOGRAPHIC:
+        from simplepanorama_tpu.render import sten_fix
+        from simplepanorama_tpu.config import Stretch
+        est = sten_fix.estimate_circle(pd.masks, pd.corners)
+        if est is not None:
+            (cx, cy), r = est
+            quad = cfg.stretching == Stretch.QUADRATIC_SCALING
+            f_imgs, f_masks, f_corners, ansatz = sten_fix.disk_reproj(
+                pd.imgs, pd.masks, pd.corners, (cx, cy), r, quad)
+            pd = prj.ProjData(imgs=f_imgs, masks=f_masks,
+                              corners=f_corners)
+            sten_full = (ansatz, r)
+
     seam_masks = None
     if params.seam_masks is not None:
         seam_masks = []
@@ -278,8 +295,15 @@ def render_full(params: StitchParams, cfg: Config,
         fields = [fields_dev[b, :rh // 2, :rw // 2]
                   for b, (_, _, rw, rh) in enumerate(params.state.rois)]
         imgs = expo.adjust_intensity(imgs, fields)
-    return _blend_dispatch(params, cfg, list(imgs), pd.masks, seam_masks,
-                           pd.corners)
+    out = _blend_dispatch(params, cfg, list(imgs), pd.masks, seam_masks,
+                          pd.corners)
+    if sten_full is not None:
+        from simplepanorama_tpu.render import sten_fix
+        from simplepanorama_tpu.geometry.canvas import get_pan_dimension
+        (ax, ay), r = sten_full
+        d = get_pan_dimension(pd.corners, [im.shape[:2] for im in pd.imgs])
+        out = sten_fix.inpaint_center(out, (ax - d.min_x, ay - d.min_y), r)
+    return out
 
 
 # ---------------------------------------------------------------------------

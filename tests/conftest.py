@@ -40,3 +40,40 @@ def map_images():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def ncc_aligned(out, ref_path, max_vshift=0.25, circular=False):
+    """NCC of a panorama vs a golden JPG, aspect-preserving: the reference
+    outputs are hand-cropped, so resize the golden to the output's width
+    and search the vertical offset (and, for 360 panoramas, the circular
+    horizontal shift — the u-origin is a free gauge) that maximizes NCC
+    of the central band."""
+    import cv2
+    ref = cv2.imread(ref_path)
+    h, w = out.shape[:2]
+    rh = int(ref.shape[0] * w / ref.shape[1])
+    ref = cv2.resize(ref, (w, rh), interpolation=cv2.INTER_AREA)
+    a = cv2.cvtColor(out, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    b = cv2.cvtColor(ref, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    best = -1.0
+    H = min(h, rh)
+    core = slice(int(H * 0.15), int(H * 0.85))
+
+    def norm(x):
+        return (x - x.mean()) / (x.std() + 1e-6)
+
+    for dv in range(-int(max_vshift * H), int(max_vshift * H) + 1, 2):
+        a0 = a[max(0, dv):max(0, dv) + H, :]
+        b0 = b[max(0, -dv):max(0, -dv) + H, :]
+        m = min(a0.shape[0], b0.shape[0])
+        a1, b1 = norm(a0[:m][core]), norm(b0[:m][core])
+        if a1.size < 1000:
+            continue
+        if circular:
+            F = np.fft.rfft(a1, axis=1) * np.conj(np.fft.rfft(b1, axis=1))
+            corr = np.fft.irfft(F, n=a1.shape[1], axis=1).sum(0) / a1.size
+            v = corr.max()
+        else:
+            v = (a1 * b1).mean()
+        best = max(best, float(v))
+    return best

@@ -4,6 +4,7 @@ reference's own validation mechanism, ret_A_i_num/ret_B_i_num,
 synthetic-scene convergence."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -132,17 +133,12 @@ def test_lm_converges_relaxed_objective():
     assert int(res.n_accepted) >= 3
 
 
-def test_fused_driver_matches_host_driver():
-    """The fused single-program incremental driver (_incremental_lm in a
-    fori_loop) must land where the per-addition host loop lands."""
-    from simplepanorama_tpu.stitch import (bundle_adjust_stitching,
-                                           _rodrigues_np)
+def _chain_problem(rng, n=4, f=700.0):
+    """Synthetic n-camera chain: ground-truth rotations, noisy matches,
+    consistent homography table — the incremental driver's input."""
+    from simplepanorama_tpu.stitch import _rodrigues_np
     from simplepanorama_tpu.adjacency import Adjacency
     from simplepanorama_tpu.geometry.graph import Component
-    from simplepanorama_tpu.config import Config
-
-    rng = np.random.default_rng(5)
-    n, f = 4, 700.0
     rotvecs = [np.array([0.0, 0.22 * i, 0.015 * i]) for i in range(n)]
     K = np.diag([f, f, 1.0])
     Kinv = np.linalg.inv(K)
@@ -171,6 +167,19 @@ def test_fused_driver_matches_host_driver():
                      nodes=list(range(n)))
     adjres = Adjacency(adj=adj, raw_counts=adj, hom_mat=hom,
                        matches=matches)
+    return comp, adjres, rotvecs
+
+
+def test_fused_driver_matches_host_driver():
+    """The fused single-program incremental driver (_incremental_lm in a
+    fori_loop) must land where the per-addition host loop lands."""
+    from simplepanorama_tpu.stitch import (bundle_adjust_stitching,
+                                           _rodrigues_np)
+    from simplepanorama_tpu.config import Config
+
+    rng = np.random.default_rng(5)
+    n, f = 4, 700.0
+    comp, adjres, rotvecs = _chain_problem(rng, n, f)
     sizes = [(480, 640)] * n
     cfg = Config()
 
@@ -188,6 +197,36 @@ def test_fused_driver_matches_host_driver():
     np.testing.assert_allclose(res_fused.rot, res_host.rot, atol=0.02)
     np.testing.assert_allclose(res_fused.K[:, 0, 0], res_host.K[:, 0, 0],
                                rtol=0.03)
+
+
+def test_fused_driver_cancellable_and_reports_progress():
+    """Cancellation must abort the fused BA between chunk dispatches (the
+    reference polls per node-addition, _stitch.cpp:240), and progress
+    must tick DURING the schedule, not after it returns."""
+    from simplepanorama_tpu.stitch import bundle_adjust_stitching
+    from simplepanorama_tpu.config import Config
+
+    rng = np.random.default_rng(7)
+    n, f = 8, 700.0
+    comp, adjres, _ = _chain_problem(rng, n, f)
+    sizes = [(480, 640)] * n
+    cfg = Config()
+
+    ticks = []
+    bundle_adjust_stitching(comp, adjres, sizes, f, cfg, fused=True,
+                            progress=ticks.append)
+    assert len(ticks) >= 2, "progress must tick per chunk, not once"
+    assert abs(sum(ticks) - 1.0) < 1e-6
+
+    calls = {"n": 0}
+
+    def cancel_after_first():
+        calls["n"] += 1
+        return calls["n"] > 2   # allow the pre-loop poll + first chunk
+
+    with pytest.raises(RuntimeError, match="canceled"):
+        bundle_adjust_stitching(comp, adjres, sizes, f, cfg, fused=True,
+                                cancelled=cancel_after_first)
 
 
 def test_inactive_cameras_untouched():

@@ -50,7 +50,7 @@ def test_cli_runs(tmp_path):
     paths = sorted(glob.glob("/root/reference/results/map/budapest*.jpg"))[:3]
     out = tmp_path / "pano.jpg"
     rc = main(paths + ["-o", str(out), "--init-size", "400",
-                       "--RANSAC-iterations", "300", "--quiet",
+                       "--RANSAC-iterations", "300", "--quiet", "--timing",
                        "--blend", "SIMPLE_BLEND"])
     assert rc == 0
     assert out.exists()
