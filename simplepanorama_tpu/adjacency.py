@@ -103,6 +103,27 @@ def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
                          xy_q, valid_q, xy_t, valid_t, keys, n_raw)
 
 
+@functools.partial(jax.jit, static_argnames=("num",))
+def _chunk_keys(master, s, num):
+    """Per-chunk RANSAC keys in one dispatch (fold_in + split are two
+    eager ops each costing a round trip on a network-attached device)."""
+    return jax.random.split(jax.random.fold_in(master, s), num)
+
+
+@jax.jit
+def _gather_count_args(desc, valid, qi, ti):
+    """One dispatch for the pass-1 pair gathers (4 eager gathers would
+    cost 4 round trips each on a network-attached device)."""
+    return desc[qi], desc[ti], valid[qi], valid[ti]
+
+
+@jax.jit
+def _gather_verify_args(desc, xy, valid, hw, qi, ti):
+    """One dispatch for the pass-2 pair gathers (8 eager gathers)."""
+    return (desc[qi], desc[ti], xy[qi], xy[ti], valid[qi], valid[ti],
+            hw[qi], hw[ti])
+
+
 def _stack_features(feats: Sequence[Features]):
     """Stacked device tables; reuses the extraction program's outputs
     when available (features.FeatureSet) so descriptors don't round-trip
@@ -141,7 +162,7 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
         blk_p = blk + [blk[-1]] * (chunk - len(blk))
         qi = jnp.asarray([p[0] for p in blk_p])
         ti = jnp.asarray([p[1] for p in blk_p])
-        args = (desc[qi], desc[ti], valid[qi], valid[ti])
+        args = _gather_count_args(desc, valid, qi, ti)
         if mesh is not None:
             args = shard_leading(args, mesh)
         _, _, nm = match_pair_batch(*args, cfg.max_matches_per_pair)
@@ -214,11 +235,10 @@ def build_adjacency(feats: Sequence[Features],
         blk_p = blk + [blk[-1]] * pad
         qi = jnp.asarray([p[0] for p in blk_p])
         ti = jnp.asarray([p[1] for p in blk_p])
-        keys = jax.random.split(jax.random.fold_in(master, s), len(blk_p))
+        keys = _chunk_keys(master, s, len(blk_p))
         # pair-batch data parallelism over the mesh (the reference's
         # std::thread pool over (i,j) pairs, _panorama.cpp:385-436)
-        args = (desc[qi], desc[ti], xy[qi], xy[ti], valid[qi], valid[ti],
-                hw[qi], hw[ti], keys)
+        args = _gather_verify_args(desc, xy, valid, hw, qi, ti) + (keys,)
         if mesh is not None:
             args = shard_leading(args, mesh)
         accept, weight, H, kq, kt, kv = _verify_pairs(

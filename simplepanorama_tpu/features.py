@@ -18,6 +18,7 @@ batch dimension is the unit of data parallelism for multi-device sharding.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -48,6 +49,10 @@ class FeatureSet(list):
     directly, so descriptors never round-trip over the (possibly
     network-attached) device link between the two stages."""
     device_batch = None   # (xy, desc, valid) jnp arrays, center-origin
+    device_images = None  # (N', Hp, Wp, 3) uint8 device batch (padded);
+    #                       row i = image i.  The warp stage gathers its
+    #                       source pixels from this so they are uploaded
+    #                       exactly once per stitch.
 
 
 def _to_gray(img_bgr: np.ndarray) -> np.ndarray:
@@ -88,12 +93,13 @@ def extract_features(images: Sequence[np.ndarray],
     import jax as _jax
     if _jax.process_count() > 1:
         arrays = _extract_multihost(images, cfg)
-        device_batch = None
+        device_batch = device_images = None
     else:
-        arrays = _extract_arrays(images, cfg)
+        arrays, device_images = _extract_arrays(images, cfg)
         device_batch = (arrays[0], arrays[3], arrays[4])  # xy, desc, valid
     out = FeatureSet(_to_features(images, arrays, progress))
     out.device_batch = device_batch
+    out.device_images = device_images
     return out
 
 
@@ -141,16 +147,23 @@ def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
         sigma=float(cfg.sigma_sift))
     # center-origin shift ON DEVICE (integer halves — the reference's
     # ``pt.x - img.cols / 2`` convention), invalid slots zeroed, so the
-    # returned tables are directly consumable by the matching stage
-    xy = _center_shift(fb.xy, fb.valid, hw_d)
-    return (xy[:n], fb.size[:n], fb.response[:n], fb.desc[:n],
-            fb.valid[:n])
+    # returned tables are directly consumable by the matching stage.
+    # Shift + the 5 trims run as ONE dispatch (each eager slice is a
+    # round trip on a network-attached device).
+    return _shift_and_trim(fb.xy, fb.size, fb.response, fb.desc,
+                           fb.valid, hw_d, n), batch_d
 
 
 @jax.jit
 def _center_shift(xy, valid, hw):
     half = jnp.stack([hw[:, 1] // 2, hw[:, 0] // 2], -1).astype(jnp.float32)
     return jnp.where(valid[..., None], xy - half[:, None, :], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _shift_and_trim(xy, size, response, desc, valid, hw, n):
+    xy = _center_shift(xy, valid, hw)
+    return xy[:n], size[:n], response[:n], desc[:n], valid[:n]
 
 
 def _extract_multihost(images: Sequence[np.ndarray], cfg: Config):
@@ -169,27 +182,72 @@ def _extract_multihost(images: Sequence[np.ndarray], cfg: Config):
     Wm = max(im.shape[1] for im in images)
     while len(local) < per:
         local.append(np.zeros((8, 8, 3), np.uint8))
-    arrays = _extract_arrays(local, cfg, pad_shape=(Hm, Wm))
+    arrays, _ = _extract_arrays(local, cfg, pad_shape=(Hm, Wm))
     gathered = multihost_utils.process_allgather(arrays)
     # (nproc, per, ...) -> contiguous order -> first n
     return tuple(np.asarray(g).reshape((-1,) + g.shape[2:])[:n]
                  for g in gathered)
 
 
+class _LazyDescTable:
+    """Defers the (N, K, 128) descriptor download until someone on the
+    host actually reads it. The pipeline itself matches from the device
+    tables (FeatureSet.device_batch), so in the common path the
+    descriptors never cross the device link at all."""
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._host = None
+
+    def get(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._dev)
+            self._dev = None
+        return self._host
+
+
+class _LazyDesc:
+    """numpy-compatible per-image view into a _LazyDescTable row."""
+
+    def __init__(self, table: _LazyDescTable, i: int, shape):
+        self._table = table
+        self._i = i
+        self.shape = shape
+        self.dtype = np.dtype(np.float32)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._table.get()[self._i]
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, k):
+        return self._table.get()[self._i][k]
+
+    def __len__(self):
+        return self.shape[0]
+
+
 def _to_features(images, arrays,
                  progress: Optional[Callable[[float], None]] = None
                  ) -> List[Features]:
     """Host-side per-image views (coordinates already center-origin).
-    One bulk transfer for the table the host actually reads; descriptors
-    ride along for API parity (the pipeline itself matches from the
-    device tables in FeatureSet.device_batch)."""
-    xy_all, size_all, resp_all, desc_all, valid_all = [
-        np.asarray(a) for a in arrays]
+    One bulk transfer for the small tables the host actually reads;
+    descriptors are wrapped lazily (the pipeline matches from the device
+    tables in FeatureSet.device_batch and never reads them host-side)."""
+    desc_all = arrays[3]
+    xy_all, size_all, resp_all, valid_all = [
+        np.asarray(a) for a in (arrays[0], arrays[1], arrays[2],
+                                arrays[4])]
     n = len(images)
+    if isinstance(desc_all, np.ndarray):
+        desc_view = lambda i: desc_all[i]
+    else:
+        table = _LazyDescTable(desc_all)
+        shp = tuple(desc_all.shape[1:])
+        desc_view = lambda i: _LazyDesc(table, i, shp)
     out: List[Features] = []
     for i in range(n):
         out.append(Features(xy=xy_all[i], size=size_all[i],
-                            response=resp_all[i], desc=desc_all[i],
+                            response=resp_all[i], desc=desc_view(i),
                             valid=valid_all[i]))
         if progress is not None:
             progress(1.0 / n)

@@ -37,6 +37,12 @@ def _mesh():
     return pipeline_mesh()
 
 
+@jax.jit
+def _gather_f32(batch_u8: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Select warp-source images out of the resident uint8 batch."""
+    return batch_u8[rows].astype(jnp.float32)
+
+
 @dataclasses.dataclass
 class ComposeState:
     """Packed device blocks + host metadata."""
@@ -52,8 +58,15 @@ class ComposeState:
 
 
 def warp_all(kind: str, scale: float, images: Sequence[np.ndarray],
-             Rs, Ks, connectivity) -> ComposeState:
-    """Batched warp, blocks stay on device."""
+             Rs, Ks, connectivity, dev_images=None) -> ComposeState:
+    """Batched warp, blocks stay on device.
+
+    ``dev_images``: optional ``(batch_u8, rows)`` — a device-resident
+    uint8 image batch (the one the SIFT stage already uploaded) plus the
+    batch row for each entry of ``images``. When given, the source pixels
+    are gathered from that batch ON DEVICE instead of re-uploading a
+    float32 copy over the (possibly network-attached) device link — the
+    pixels cross the link exactly once per stitch."""
     sel = [i for i in range(len(images)) if connectivity[i] > 0]
     rois = {}
     for i in sel:
@@ -63,26 +76,34 @@ def warp_all(kind: str, scale: float, images: Sequence[np.ndarray],
     out_w = max(rois[i][2] for i in sel)
     out_h = (out_h + 7) // 8 * 8
     out_w = (out_w + 127) // 128 * 128
-    Hs = max(im.shape[0] for im in images)
-    Ws = max(im.shape[1] for im in images)
 
     n = len(sel)
-    imgs_b = np.zeros((n, Hs, Ws, 3), np.float32)
     Ka_b = np.zeros((n, 3, 3), np.float32)
     R_b = np.zeros((n, 3, 3), np.float32)
     c_b = np.zeros((n, 2), np.float32)
     hw_b = np.zeros((n, 2), np.int32)
     for b, i in enumerate(sel):
-        im = images[i].astype(np.float32)
-        h, w = im.shape[:2]
-        imgs_b[b, :h, :w] = im
+        h, w = images[i].shape[:2]
         Ka_b[b] = prj.adjusted_K(Ks[i], h, w)
         R_b[b] = np.asarray(Rs[i], np.float32)
         c_b[b] = (rois[i][0], rois[i][1])
         hw_b[b] = (h, w)
 
+    if dev_images is not None:
+        batch_u8, rows = dev_images
+        sel_rows = jnp.asarray(np.array([rows[i] for i in sel], np.int32))
+        src = _gather_f32(batch_u8, sel_rows)
+    else:
+        Hs = max(im.shape[0] for im in images)
+        Ws = max(im.shape[1] for im in images)
+        imgs_b = np.zeros((n, Hs, Ws, 3), np.float32)
+        for b, i in enumerate(sel):
+            h, w = images[i].shape[:2]
+            imgs_b[b, :h, :w] = images[i].astype(np.float32)
+        src = jnp.asarray(imgs_b)
+
     warped, masks = prj.warp_backward_batch(
-        jnp.asarray(imgs_b), jnp.asarray(Ka_b), jnp.asarray(R_b),
+        src, jnp.asarray(Ka_b), jnp.asarray(R_b),
         jnp.asarray(c_b), float(scale), kind, out_h, out_w,
         jnp.asarray(hw_b), erode_iters=4)
 

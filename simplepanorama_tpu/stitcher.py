@@ -125,8 +125,11 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
                cfg: Config,
                progress: Optional[Callable[[float], None]] = None,
                cancelled: Optional[Callable[[], bool]] = None,
+               dev_images=None,
                ) -> StitchParams:
-    """images: the *component's* images (res.nodes order), BGR uint8."""
+    """images: the *component's* images (res.nodes order), BGR uint8.
+    ``dev_images``: optional (batch_u8, rows) device-resident pixel source
+    (see compose.warp_all) — rows indexed like ``images``."""
     from simplepanorama_tpu.render import compose
     from simplepanorama_tpu.utils.timing import stage
     rot = res.rot.copy()
@@ -138,7 +141,8 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
 
     with stage("warp"):
         state = compose.warp_all(kind, scale, images, list(rot),
-                                 list(res.K), list(res.connectivity))
+                                 list(res.K), list(res.connectivity),
+                                 dev_images=dev_images)
     params = StitchParams(res=res, rot=rot, proj_kind=kind, scale=scale,
                           state=state)
 
@@ -374,10 +378,13 @@ def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
     if progress is not None:
         progress.set(4 / 6, "Projecting Images...")
     comp_imgs = [images.img_data[g] for g in res.nodes]
+    dev_images = None
+    if getattr(feats, "device_images", None) is not None:
+        dev_images = (feats.device_images, list(res.nodes))
     with stage("compositing"):
         params = set_config(res, comp_imgs, cfg,
                             progress=lambda d: prog(d / 3.0),
-                            cancelled=cancelled)
+                            cancelled=cancelled, dev_images=dev_images)
     if progress is not None:
         progress.set(1.0, "Done")
     return res, params, (len(comp.nodes), n_total)
