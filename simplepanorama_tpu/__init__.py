@@ -23,6 +23,24 @@ a CLI, config-file round-tripping, progress/cancellation, preview + full-res
 rendering, and crop/save.
 """
 
+import os as _os
+
+# persistent XLA compilation cache: cold compiles of the larger programs
+# (SIFT pyramid, pair verification, the fused BA while_loop, the Pallas
+# min-cut, the full-res scan) cost minutes against a remote TPU; the cache
+# makes every run after the first start in seconds. Opt out by setting
+# JAX_COMPILATION_CACHE_DIR yourself (any value, including empty).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/spt_jax_cache")
+if _os.environ["JAX_COMPILATION_CACHE_DIR"]:
+    try:  # the env var alone is not honored on every backend; the config
+        # update is (measured: a run with only the env var wrote nothing)
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from simplepanorama_tpu.config import (
     Blending,
     Projection,

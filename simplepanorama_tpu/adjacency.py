@@ -103,11 +103,13 @@ def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
                          xy_q, valid_q, xy_t, valid_t, keys, n_raw)
 
 
-@functools.partial(jax.jit, static_argnames=("num",))
-def _chunk_keys(master, s, num):
-    """Per-chunk RANSAC keys in one dispatch (fold_in + split are two
-    eager ops each costing a round trip on a network-attached device)."""
-    return jax.random.split(jax.random.fold_in(master, s), num)
+@jax.jit
+def _pair_keys(master, ids):
+    """Per-PAIR RANSAC keys derived from the pair's linear index i*N+j —
+    the key stream is a function of the pair identity alone, so chunking
+    and host-sharding the work list cannot change any pair's RANSAC draw
+    (multi-process runs bit-match single-process)."""
+    return jax.vmap(lambda s: jax.random.fold_in(master, s))(ids)
 
 
 @jax.jit
@@ -137,17 +139,38 @@ def _stack_features(feats: Sequence[Features]):
     return xy, desc, valid
 
 
+def _host_pair_shard(pairs):
+    """This process's contiguous shard of the pair work list, padded so
+    every process dispatches the same shapes. Returns (my_pairs, per,
+    n_proc) — per is the padded shard length."""
+    import jax as _jax
+    nproc = _jax.process_count()
+    if nproc <= 1:
+        return pairs, len(pairs), 1
+    from simplepanorama_tpu.parallel.multihost import host_shard
+    per = (len(pairs) + nproc - 1) // nproc
+    mine = host_shard(pairs)
+    while len(mine) < per:           # pad with a repeat (results ignored)
+        mine.append(pairs[-1])
+    return mine, per, nproc
+
+
 def raw_match_counts(feats: Sequence[Features], cfg: Config,
                      chunk: int = 64,
                      progress: Optional[Callable[[float], None]] = None,
                      cancelled: Optional[Callable[[], bool]] = None,
                      ) -> np.ndarray:
-    """Pass 1: ratio-test match counts for all upper-triangular pairs."""
+    """Pass 1: ratio-test match counts for all upper-triangular pairs.
+
+    Multi-process: the pair list is host-sharded (the reference's
+    std::thread pool over (i,j) pairs scaled across hosts, SURVEY §5) and
+    the per-pair counts are all-gathered over DCN."""
     from simplepanorama_tpu.parallel.mesh import (pipeline_mesh,
                                                   pad_leading, shard_leading)
     n = len(feats)
     counts = np.zeros((n, n))
-    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    all_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    pairs, per, nproc = _host_pair_shard(all_pairs)
     xy, desc, valid = _stack_features(feats)
     mesh = pipeline_mesh()
     if mesh is not None:
@@ -171,6 +194,16 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
             counts[i, j] = float(c)
         if progress is not None:
             progress(len(blk) / total)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        flat = np.array([counts[i, j] for (i, j) in pairs], np.float64)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(flat)).reshape(-1)
+        # contiguous shards of length ``per``: global pair k sits at
+        # flattened position k (padding tails land beyond len(all_pairs))
+        counts[:] = 0.0
+        for k, (i, j) in enumerate(all_pairs):
+            counts[i, j] = gathered[k]
     return counts
 
 
@@ -211,9 +244,9 @@ def build_adjacency(feats: Sequence[Features],
     hom[:] = np.eye(3)
     result = Adjacency(adj=adj, raw_counts=counts, hom_mat=hom)
 
-    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
-             if filtered[i, j] >= _MIN_RAW_MATCHES]
-    if not pairs:
+    all_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+                 if filtered[i, j] >= _MIN_RAW_MATCHES]
+    if not all_pairs:
         return result
 
     from simplepanorama_tpu.parallel.mesh import (pipeline_mesh,
@@ -222,10 +255,16 @@ def build_adjacency(feats: Sequence[Features],
     if mesh is not None:
         chunk = pad_leading(chunk, mesh.size)
 
+    # multi-process: contiguous pair shards per host, verified locally on
+    # each host's mesh, results all-gathered over DCN; per-pair RANSAC
+    # keys make the sharded result identical to single-process
+    pairs, per, nproc = _host_pair_shard(all_pairs)
+
     xy, desc, valid = _stack_features(feats)
     hw = jnp.asarray(np.array(sizes, np.int32))  # (N, 2) as (h, w)
     master = jax.random.PRNGKey(seed)
     total = max(1, len(pairs))
+    acc_l, w_l, H_l, kq_l, kt_l, kv_l = [], [], [], [], [], []
     for s in range(0, len(pairs), chunk):
         if cancelled is not None and cancelled():
             raise RuntimeError("Process canceled")
@@ -235,7 +274,8 @@ def build_adjacency(feats: Sequence[Features],
         blk_p = blk + [blk[-1]] * pad
         qi = jnp.asarray([p[0] for p in blk_p])
         ti = jnp.asarray([p[1] for p in blk_p])
-        keys = _chunk_keys(master, s, len(blk_p))
+        keys = _pair_keys(master,
+                          jnp.asarray([p[0] * n + p[1] for p in blk_p]))
         # pair-batch data parallelism over the mesh (the reference's
         # std::thread pool over (i,j) pairs, _panorama.cpp:385-436)
         args = _gather_verify_args(desc, xy, valid, hw, qi, ti) + (keys,)
@@ -251,21 +291,36 @@ def build_adjacency(feats: Sequence[Features],
             overlap_inl_match=cfg.overlap_inl_match,
             overlap_inl_keyp=cfg.overlap_inl_keyp,
             conf=cfg.conf)
-        accept = np.asarray(accept)
-        weight = np.asarray(weight)
-        H = np.array(H)
-        kq = np.asarray(kq)
-        kt = np.asarray(kt)
-        kv = np.asarray(kv)
-        for b, (i, j) in enumerate(blk):
-            if not accept[b]:
-                continue
-            adj[i, j] = weight[b]
-            hom[i, j] = H[b]
-            hom[j, i] = np.linalg.inv(H[b])
-            m = kv[b]
-            result.matches[(i, j)] = (kq[b][m], kt[b][m])
-            result.matches[(j, i)] = (kt[b][m], kq[b][m])
+        nb = len(blk)
+        acc_l.append(np.asarray(accept)[:nb])
+        w_l.append(np.asarray(weight)[:nb])
+        H_l.append(np.array(H)[:nb])
+        kq_l.append(np.asarray(kq)[:nb])
+        kt_l.append(np.asarray(kt)[:nb])
+        kv_l.append(np.asarray(kv)[:nb])
         if progress is not None:
-            progress(len(blk) / total * 0.5)
+            progress(nb / total * 0.5)
+
+    accept = np.concatenate(acc_l)
+    weight = np.concatenate(w_l)
+    H = np.concatenate(H_l)
+    kq = np.concatenate(kq_l)
+    kt = np.concatenate(kt_l)
+    kv = np.concatenate(kv_l)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        accept, weight, H, kq, kt, kv = (
+            np.asarray(g).reshape((-1,) + g.shape[2:])[:len(all_pairs)]
+            for g in multihost_utils.process_allgather(
+                (accept, weight, H, kq, kt, kv)))
+
+    for b, (i, j) in enumerate(all_pairs):
+        if not accept[b]:
+            continue
+        adj[i, j] = weight[b]
+        hom[i, j] = H[b]
+        hom[j, i] = np.linalg.inv(H[b])
+        m = kv[b]
+        result.matches[(i, j)] = (kq[b][m], kt[b][m])
+        result.matches[(j, i)] = (kt[b][m], kq[b][m])
     return result

@@ -148,10 +148,6 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"\nconnected {pano.connected[0]} of {pano.connected[1]} "
               f"images in {time.time() - t0:.1f}s")
-    if args.timing:
-        from simplepanorama_tpu.utils.timing import global_timer
-        print(global_timer().report())
-
     if args.full_res:
         out = pano.get_panorama(tuple(args.crop) if args.crop else None)
     else:
@@ -159,6 +155,9 @@ def main(argv=None) -> int:
         if args.crop:
             x, y, w, h = args.crop
             out = out[y:y + h, x:x + w]
+    if args.timing:   # after rendering so render_preview/full are included
+        from simplepanorama_tpu.utils.timing import global_timer
+        print(global_timer().report())
     if not save_image(args.output, out):
         print(f"error: could not write {args.output}", file=sys.stderr)
         return 1

@@ -93,7 +93,15 @@ def extract_features(images: Sequence[np.ndarray],
     import jax as _jax
     if _jax.process_count() > 1:
         arrays = _extract_multihost(images, cfg)
-        device_batch = device_images = None
+        # re-upload the gathered tables once so matching keeps the
+        # no-descriptor-round-trip device path (the DCN allgather already
+        # moved them host-side; this single upload is unavoidable).
+        # Pixels stay host-sharded: device_images would need an all-gather
+        # of the full image batch over DCN, which the warp stage's
+        # once-per-stitch upload undercuts.
+        device_batch = (jnp.asarray(arrays[0]), jnp.asarray(arrays[3]),
+                        jnp.asarray(arrays[4]))
+        device_images = None
     else:
         arrays, device_images = _extract_arrays(images, cfg)
         device_batch = (arrays[0], arrays[3], arrays[4])  # xy, desc, valid

@@ -24,7 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e18)
+_INF = 1e18   # python float: usable both in XLA and inside Pallas kernels
+              # (a jnp scalar would be a captured constant there)
 
 
 def _shift(x, dy, dx, fill):
@@ -43,6 +44,79 @@ def _shift(x, dy, dx, fill):
 
 # direction order: 0=right(+x), 1=left(-x), 2=down(+y), 3=up(-y)
 _DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0))
+
+
+def _shift_n(x, dy: int, dx: int, fill):
+    """x shifted by (dy, dx) steps: result[y, x] = x[y+dy, x+dx],
+    out-of-bounds filled — the n-step generalization of _shift, built by
+    concatenation (roll+fixup only handles +-1)."""
+    H, W = x.shape
+    if dy > 0:
+        x = jnp.concatenate([x[dy:], jnp.full((dy, W), fill, x.dtype)], 0)
+    elif dy < 0:
+        x = jnp.concatenate([jnp.full((-dy, W), fill, x.dtype), x[:dy]], 0)
+    if dx > 0:
+        x = jnp.concatenate([x[:, dx:], jnp.full((H, dx), fill, x.dtype)],
+                            1)
+    elif dx < 0:
+        x = jnp.concatenate([jnp.full((H, -dx), fill, x.dtype), x[:, :dx]],
+                            1)
+    return x
+
+
+def _minplus_scan(d0, w, dy: int, dx: int, size: int):
+    """Inclusive min-plus prefix scan along one propagation direction
+    (Hillis-Steele doubling, log2(size) steps): returns
+    new_d[p] = min_j d0[p - j*step] + sum of w over the path — i.e. the
+    fully-relaxed BFS distance along this direction in one O(log) pass
+    instead of O(size) sweeps. ``w[p]`` is the edge weight INTO p from
+    its predecessor (1 where the residual capacity admits, INF where
+    not); (dy, dx) is the direction values FLOW (predecessor at
+    (p_y - dy, p_x - dx)). Combine((bL,aL),(bR,aR)) = (min(bR, bL+aR),
+    aL+aR); left identity (INF, 0)."""
+    B = jnp.minimum(d0, _shift_n(d0, -dy, -dx, _INF) + w)
+    A = jnp.minimum(w + _shift_n(w, -dy, -dx, 0.0), _INF)
+    s = 2
+    while s < size:
+        B = jnp.minimum(B, _shift_n(B, -dy * s, -dx * s, _INF) + A)
+        A = jnp.minimum(A + _shift_n(A, -dy * s, -dx * s, 0.0), _INF)
+        s *= 2
+    return B
+
+
+def _dist_to_sink_scan(caps, demand, node, n_pass: int):
+    """BFS distance-to-sink via directional min-plus scans: each pass
+    fully relaxes down/up/right/left in O(log H + log W) doubling steps;
+    passes repeat until fixpoint (a pass count ~ the number of direction
+    changes along the shortest path's spiral, not the grid diameter).
+    Same fixpoint as _dist_to_sink — only the relaxation order differs."""
+    H, W = demand.shape
+    d0 = jnp.where(demand & node, 0.0, _INF)
+    # w into p from direction (dy,dx): admissible iff p can push TOWARD
+    # its predecessor, i.e. caps[k][p] > 0 for k = the reverse direction
+    w_down = jnp.where(caps[3] > 0, 1.0, _INF)    # from (y-1,x): k=3 up
+    w_up = jnp.where(caps[2] > 0, 1.0, _INF)      # from (y+1,x): k=2 down
+    w_right = jnp.where(caps[1] > 0, 1.0, _INF)   # from (y,x-1): k=1 left
+    w_left = jnp.where(caps[0] > 0, 1.0, _INF)    # from (y,x+1): k=0 right
+
+    def cond(state):
+        it, d, changed = state
+        return (it < n_pass) & changed
+
+    def body(state):
+        it, d, _ = state
+        prev = d
+        d = _minplus_scan(d, w_down, 1, 0, H)
+        d = _minplus_scan(d, w_up, -1, 0, H)
+        d = _minplus_scan(d, w_right, 0, 1, W)
+        d = _minplus_scan(d, w_left, 0, -1, W)
+        d = jnp.where(node, d, _INF)
+        return it + 1, d, jnp.any(d < prev)
+
+    _, d, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0), jnp.where(node, d0, _INF),
+                     jnp.array(True)))
+    return d
 
 
 def _dist_to_sink(caps, demand, node, n_sweep, shift=_shift,
@@ -130,26 +204,40 @@ def _mincut_core(cap_h, cap_v, excess0, node,
         h = jnp.where(lift, min_h + 1.0, h)
         return caps, e, h
 
+    if shift is _shift:
+        # single-device: BFS via directional min-plus scans (O(log) per
+        # pass) — the sweep fixpoint needs O(grid diameter) iterations
+        def bfs(caps_, demand_):
+            return _dist_to_sink_scan(caps_, demand_, node, sweep_iters)
+    else:
+        # sharded variant: halo shifts only reach +-1, keep the sweeps
+        def bfs(caps_, demand_):
+            return _dist_to_sink(caps_, demand_, node, sweep_iters,
+                                 shift, gany)
+
+    # ONE BFS per outer iteration: its result is both the relabel height
+    # field for the next push block AND the progress/termination check for
+    # the previous one (the state is unchanged between the two uses, so
+    # the old end-of-iteration BFS recomputed the same distances the next
+    # iteration's global relabel would — merged, halving BFS work)
     def outer_body(state):
-        it, caps, e, h, _ = state
-        h = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
+        it, caps, e, d, _ = state
         caps, e, h = jax.lax.fori_loop(
-            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
-        # progress check: active excess that can still reach a sink
-        d = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
+            0, inner_iters, lambda _, s: push_phase(s), (caps, e, d))
+        d = bfs(caps, e < 0)
         work_left = gany(jnp.any((e > 0) & (d < _INF)))
-        return it + 1, caps, e, h, work_left
+        return it + 1, caps, e, d, work_left
 
     def outer_cond(state):
         it, _, _, _, work_left = state
         return (it < max_outer) & work_left
 
-    h0 = jnp.where(node, 0.0, _INF)
-    state = (jnp.array(0), caps, e, h0, jnp.array(True))
-    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+    d0 = bfs(caps, e < 0)
+    work0 = gany(jnp.any((e > 0) & (d0 < _INF)))
+    state = (jnp.array(0), caps, e, d0, work0)
+    it, caps, e, d, _ = jax.lax.while_loop(outer_cond, outer_body, state)
 
     # final residual reachability-to-sink: unreachable = source side
-    d = _dist_to_sink(caps, e < 0, node, sweep_iters, shift, gany)
     return (d >= _INF) & node
 
 
@@ -204,29 +292,6 @@ _REV = (1, 0, 3, 2)
 _INF_F = 1e18
 
 
-def _bfs_val(caps, demand, node, n_sweep):
-    """In-kernel BFS distance-to-sink (the _dist_to_sink fixpoint)."""
-    d0 = jnp.where(demand & node, 0.0, _INF_F)
-
-    def cond(st):
-        it, d, changed = st
-        return (it < n_sweep) & changed
-
-    def body(st):
-        it, d, _ = st
-        best = d
-        for k, (dy, dx) in enumerate(_DIRS):
-            nb = _shift_val(d, dy, dx, _INF_F)
-            best = jnp.minimum(best,
-                               jnp.where(caps[k] > 0, nb + 1.0, _INF_F))
-        best = jnp.where(node, best, _INF_F)
-        return it + 1, best, jnp.any(best < d)
-
-    _, d, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), d0, jnp.bool_(True)))
-    return d
-
-
 def _mincut_kernel(caph_ref, capv_ref, excess_ref, node_ref, side_ref, *,
                    max_outer, inner_iters, n_sweep):
     node = node_ref[...] > 0
@@ -262,23 +327,28 @@ def _mincut_kernel(caph_ref, capv_ref, excess_ref, node_ref, side_ref, *,
         h = jnp.where(lift, min_h + 1.0, h)
         return tuple(caps), e, h
 
+    def bfs(caps_, demand_):
+        # stacked caps view for the shared scan-BFS helper
+        return _dist_to_sink_scan(jnp.stack(caps_), demand_, node, n_sweep)
+
+    # merged BFS (see _mincut_core): one scan-BFS per outer iteration
+    # serves as next heights + previous termination check
     def outer_body(st):
-        it, caps, e, h, _ = st
-        h = _bfs_val(caps, e < 0, node, n_sweep)
+        it, caps, e, d, _ = st
         caps, e, h = jax.lax.fori_loop(
-            0, inner_iters, lambda _, s: push_phase(s), (caps, e, h))
-        d = _bfs_val(caps, e < 0, node, n_sweep)
+            0, inner_iters, lambda _, s: push_phase(s), (caps, e, d))
+        d = bfs(caps, e < 0)
         work_left = jnp.any((e > 0) & (d < _INF_F))
-        return it + 1, caps, e, h, work_left
+        return it + 1, caps, e, d, work_left
 
     def outer_cond(st):
         it, _, _, _, work_left = st
         return (it < max_outer) & work_left
 
-    h0 = jnp.where(node, 0.0, _INF_F)
-    st = (jnp.int32(0), caps, e, h0, jnp.bool_(True))
-    it, caps, e, h, _ = jax.lax.while_loop(outer_cond, outer_body, st)
-    d = _bfs_val(caps, e < 0, node, n_sweep)
+    d0 = bfs(caps, e < 0)
+    work0 = jnp.any((e > 0) & (d0 < _INF_F))
+    st = (jnp.int32(0), caps, e, d0, work0)
+    it, caps, e, d, _ = jax.lax.while_loop(outer_cond, outer_body, st)
     side_ref[...] = ((d >= _INF_F) & node).astype(jnp.float32)
 
 

@@ -49,6 +49,10 @@ def pipeline_mesh(axis: str = "data") -> Optional[Mesh]:
     if not PIPELINE_SHARDING:
         return None
     devs = jax.local_devices()
+    import os
+    limit = os.environ.get("SPT_MESH_LIMIT")
+    if limit:
+        devs = devs[:max(1, int(limit))]  # bench --mesh N on real chips
     if len(devs) <= 1:
         return None
     return Mesh(np.array(devs), (axis,))

@@ -184,3 +184,230 @@ def warp_tiled(img, K_adj, R, corner, scale, kind: str,
                   out_specs=(P(None, axis), P(None, axis)))
     warped, mask = jax.jit(f)(img, K_adj, R, corner, valid_hw)
     return warped[:, :out_w], mask[:, :out_w]
+
+
+# ---------------------------------------------------------------------------
+# full-resolution multiband render: two mesh schedules
+# ---------------------------------------------------------------------------
+
+def _blur_slab(x, sigma: float, radius: int, axis: str):
+    """Separable fixed-radius Gaussian of a column-sharded canvas slab:
+    ppermute halo exchange supplies the ``radius`` neighbor columns, rows
+    are local (zero beyond the canvas — identical to the block zero-pad
+    the single-device blend uses)."""
+    t = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(t * t) / (2.0 * sigma * sigma))
+    k = (k / k.sum()).astype(np.float32)
+    kh = jnp.asarray(k)[None, None, None, :]
+    kv = jnp.asarray(k)[None, None, :, None]
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    xp = halo_exchange(x, radius, axis, fill=0.0)
+    C = x.shape[2]
+    xx = xp.transpose(2, 0, 1)[None]
+    xx = jax.lax.conv_general_dilated(
+        xx, jnp.tile(kh, (C, 1, 1, 1)), (1, 1),
+        [(0, 0), (0, 0)], feature_group_count=C)
+    xx = jax.lax.conv_general_dilated(
+        xx, jnp.tile(kv, (C, 1, 1, 1)), (1, 1),
+        [(radius, radius), (0, 0)], feature_group_count=C)
+    out = xx[0].transpose(1, 2, 0)
+    return out[..., 0] if squeeze else out
+
+
+def _erode_slab(m, iters: int, axis: str):
+    """3x3 min-pool erosion of a column-sharded boolean slab with halo
+    exchange; outside-is-black falls out of the VALID windows (equivalent
+    to projection.erode_mask's border rule — a footprint pixel on its ROI
+    bbox edge always has a zero neighbor)."""
+    mp = halo_exchange(m.astype(jnp.float32), iters, axis, fill=0.0)
+    mp = jnp.pad(mp, ((iters, iters), (0, 0)))
+    for _ in range(iters):
+        mp = jax.lax.reduce_window(mp, 1.0, jax.lax.min, (3, 3), (1, 1),
+                                   "VALID")
+    return mp > 0.5
+
+
+def fullres_multi_dp(src_u8, block_hw, Ka, R, corner, vhw, roi_wh, offs,
+                     seam_blks, seam_ratios, field_blks, field_ratios,
+                     gains, scale: float, kind: str, canvas_hw, min_xy,
+                     bands: int, sigma: float, use_seam: bool,
+                     use_field: bool, mesh: Mesh, axis: str = "data"):
+    """Full-res multiband render, image-data-parallel: each device folds
+    its shard of images into a PRIVATE canvas accumulator (block-space
+    per-image work, same code as the single-device stream), then one
+    psum_scatter per accumulator reduces across devices and leaves each
+    device normalizing its slab of canvas columns."""
+    from jax import shard_map
+    from simplepanorama_tpu.render.fullres import (_prep_block,
+                                                   _mb_contribution)
+
+    H, W = canvas_hw
+    out_h, out_w = block_hw
+    ndev = mesh.devices.size
+    m = src_u8.shape[0]
+    mp_ = (m + ndev - 1) // ndev * ndev
+    if mp_ != m:
+        pad = mp_ - m
+
+        def z(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        src_u8, Ka, R, corner, offs = map(z, (src_u8, Ka, R, corner, offs))
+        vhw, roi_wh = map(z, (vhw, roi_wh))       # vhw=0 -> empty mask
+        seam_blks, field_blks = map(z, (seam_blks, field_blks))
+        seam_ratios = jnp.pad(seam_ratios, ((0, pad), (0, 0)),
+                              constant_values=1.0)
+        field_ratios = jnp.pad(field_ratios, ((0, pad), (0, 0)),
+                               constant_values=1.0)
+        gains = jnp.pad(gains, (0, pad), constant_values=1.0)
+
+    Hc2 = H + out_h
+    Wc2 = ((W + out_w + ndev - 1) // ndev) * ndev
+
+    def body(src_l, Ka_l, R_l, c_l, vhw_l, wh_l, off_l, sb_l, sr_l,
+             fb_l, fr_l, g_l):
+        # the carry accumulates per-device (varying) contributions; mark
+        # the zero init varying so the scan carry types line up
+        color = jax.lax.pcast(jnp.zeros((Hc2, Wc2, 3), jnp.float32),
+                              (axis,), to='varying')
+        alpha = jax.lax.pcast(jnp.zeros((Hc2, Wc2), jnp.float32),
+                              (axis,), to='varying')
+
+        def step(carry, xs):
+            color, alpha = carry
+            (src, Ka_g, R_g, c_g, vhw_g, wh_g, off, sb, sr, fb, fr,
+             g_g) = xs
+            img, mask, seam = _prep_block(
+                src.astype(jnp.float32), Ka_g, R_g, c_g, vhw_g, wh_g,
+                scale, kind, out_h, out_w, sb, sr, fb, fr, g_g,
+                use_seam, use_field)
+            c, a = _mb_contribution(img, seam, mask, bands, sigma)
+            return (_acc_add(color, c, off), _acc_add(alpha, a, off)), None
+
+        (color, alpha), _ = jax.lax.scan(
+            step, (color, alpha),
+            (src_l, Ka_l, R_l, c_l, vhw_l, wh_l, off_l, sb_l, sr_l,
+             fb_l, fr_l, g_l))
+        color = jax.lax.psum_scatter(color, axis, scatter_dimension=1,
+                                     tiled=True)
+        alpha = jax.lax.psum_scatter(alpha, axis, scatter_dimension=1,
+                                     tiled=True)
+        out = color / jnp.maximum(alpha[..., None], 1e-12) * bands
+        out = jnp.where(alpha[..., None] > 0, out, 0.0)
+        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(axis),) * 12, out_specs=P(None, axis))
+    sh = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sh) for a in
+            (src_u8, Ka, R, corner, vhw, roi_wh, offs, seam_blks,
+             seam_ratios, field_blks, field_ratios, gains)]
+    out = jax.jit(f)(*args)
+    return out[:H, :W]
+
+
+def fullres_multi_canvas(src_u8, Ka, R, corner, vhw, roi_wh, offs,
+                         seam_blks, seam_ratios, field_blks, field_ratios,
+                         gains, scale: float, kind: str, canvas_hw, min_xy,
+                         bands: int, sigma: float, use_seam: bool,
+                         use_field: bool, mesh: Mesh, axis: str = "data"):
+    """Full-res multiband render with the CANVAS column-sharded (the
+    warp_tiled schedule, for small image counts where image-DP would idle
+    devices): every image is warped directly onto each device's slab of
+    canvas columns via the same grid pattern as warp_tiled; seam/field
+    blocks are upsampled straight into canvas coordinates; band blurs and
+    mask erosion run on the slabs with ppermute halo exchange. Per-image
+    canvas-space math is identical to block space because a warped block
+    is exactly the canvas restricted to its ROI (zeros elsewhere)."""
+    from jax import shard_map
+    from simplepanorama_tpu.render.fullres import _resize_matrix
+
+    H, W = canvas_hw
+    ndev = mesh.devices.size
+    Hcp = (H + 7) // 8 * 8
+    Wcp = ((W + 128 * ndev - 1) // (128 * ndev)) * 128 * ndev
+    Wsl = Wcp // ndev
+    m = src_u8.shape[0]
+    radius = int(np.ceil(3 * sigma))
+    sigmas = [float(np.sqrt(2 * (bands - i) + 1) * sigma)
+              for i in range(bands)]
+
+    def body(src_r, Ka_r, R_r, c_r, vhw_r, wh_r, off_r, sb_r, sr_r,
+             fb_r, fr_r, g_r):
+        dref = jax.lax.axis_index(axis)
+        x0 = (dref * Wsl).astype(jnp.float32)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (Hcp, Wsl), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (Hcp, Wsl), 1) + x0
+        origin = jnp.asarray([float(min_xy[0]), float(min_xy[1])],
+                             jnp.float32)
+        color = jax.lax.pcast(jnp.zeros((Hcp, Wsl, 3), jnp.float32),
+                              (axis,), to='varying')
+        alpha = jax.lax.pcast(jnp.zeros((Hcp, Wsl), jnp.float32),
+                              (axis,), to='varying')
+
+        def step(carry, xs):
+            color, alpha = carry
+            (src_g, Ka_g, R_g, vhw_g, wh_g, off_g, sb_g, sr_g, fb_g,
+             fr_g, g_g) = xs
+            warped, inb = prj.warp_from_grid(
+                src_g.astype(jnp.float32), Ka_g, R_g, origin,
+                scale, kind, yy, xx, vhw_g)
+            mask = _erode_slab(inb, 4, axis)
+            offy = off_g[0].astype(jnp.float32)
+            offx = off_g[1].astype(jnp.float32)
+            mask = mask & (yy >= offy) & (yy < offy + wh_g[1]) \
+                & (xx >= offx) & (xx < offx + wh_g[0])
+            mask_f = mask.astype(jnp.float32)
+            if use_seam:
+                Wy = _resize_matrix(Hcp, sb_g.shape[0], sr_g[0],
+                                    offset=-offy, cubic=True)
+                Wx = _resize_matrix(Wsl, sb_g.shape[1], sr_g[1],
+                                    offset=x0 - offx, cubic=True)
+                seam_up = Wy @ sb_g @ Wx.T
+                seam = jnp.where((seam_up > 0.5) & mask, 1.0, 0.0)
+            else:
+                seam = mask_f
+            img = warped / g_g
+            if use_field:
+                Wy = _resize_matrix(Hcp, fb_g.shape[0], fr_g[0],
+                                    offset=-offy, cubic=False)
+                Wx = _resize_matrix(Wsl, fb_g.shape[1], fr_g[1],
+                                    offset=x0 - offx, cubic=False)
+                f_up = Wy @ fb_g @ Wx.T
+                f_up = jnp.where(jnp.abs(f_up) < 1e-6, 1.0, f_up)
+                img = img / f_up[..., None]
+            # multiband contribution on the slab (halo-exchanged blurs)
+            src4 = jnp.concatenate([img, seam[..., None]], -1)
+            blurred = {s: _blur_slab(src4, s, radius, axis)
+                       for s in set(sigmas)}
+            for i in range(bands):
+                sb = sigmas[i]
+                if i == bands - 1:
+                    band = img - blurred[sb][..., :3]
+                elif i > 0:
+                    band = blurred[sb][..., :3] \
+                        - blurred[sigmas[i + 1]][..., :3]
+                else:
+                    band = blurred[sb][..., :3]
+                w = jnp.where(mask_f > 0, blurred[sb][..., 3], 0.0)
+                color = color + band * w[..., None]
+                alpha = alpha + w
+            return (color, alpha), None
+
+        (color, alpha), _ = jax.lax.scan(
+            step, (color, alpha),
+            (src_r, Ka_r, R_r, vhw_r, wh_r, off_r, sb_r, sr_r, fb_r,
+             fr_r, g_r))
+        out = color / jnp.maximum(alpha[..., None], 1e-12) * bands
+        out = jnp.where(alpha[..., None] > 0, out, 0.0)
+        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(),) * 12,
+                  out_specs=P(None, axis))
+    sh = NamedSharding(mesh, P())
+    args = [jax.device_put(a, sh) for a in
+            (src_u8, Ka, R, corner, vhw, roi_wh, offs, seam_blks,
+             seam_ratios, field_blks, field_ratios, gains)]
+    out = jax.jit(f)(*args)
+    return out[:H, :W]

@@ -180,3 +180,105 @@ def graph_cut(images: Sequence[np.ndarray],
         h, w = sizes[s]
         out[s] = out[s] & (owner[y0:y0 + h, x0:x0 + w] == s)
     return [o for o in out]
+
+
+# ---------------------------------------------------------------------------
+# device-chain incremental graph cut: no host sync inside the loop
+# ---------------------------------------------------------------------------
+# The host loop above performs one device dispatch + a FULL host sync
+# (np.asarray(cut)) + a host canvas update per image — on a 36-image
+# sequence that is 35 serialized RTT-bound solves. Here the grayscale
+# canvas and scene mask stay ON DEVICE: each image is one enqueued
+# _cut_step dispatch whose output feeds the next step's input as a device
+# future, so the host loop runs ahead and the chain pipelines (the same
+# discipline as the double-buffered BA chunks, stitch.py:243-261). The
+# only sync is the final seam-mask download.
+
+@jax.jit
+def _cut_step(canvas_g, scene, gray_b, mask_b, off):
+    """One incremental cut over padded blocks: slice the canvas under the
+    new image, build the seam graph, solve, paste. Shapes are the packed
+    block shape, so ONE compiled program serves every image."""
+    Hb, Wb = gray_b.shape
+    pano_roi = jax.lax.dynamic_slice(canvas_g, (off[0], off[1]), (Hb, Wb))
+    scene_roi = jax.lax.dynamic_slice(
+        scene, (off[0], off[1]), (Hb, Wb))
+    wh, wv, excess, obj = _build_cut_graph(
+        pano_roi, gray_b, scene_roi.astype(jnp.float32) * 255.0,
+        mask_b.astype(jnp.float32) * 255.0)
+    side = grid_mincut_auto(wh, wv, excess, obj)
+    cut = jnp.where(obj, side, mask_b)
+    canvas_g = jax.lax.dynamic_update_slice(
+        canvas_g, jnp.where(cut, gray_b, pano_roi), (off[0], off[1]))
+    scene = jax.lax.dynamic_update_slice(
+        scene, scene_roi | cut, (off[0], off[1]))
+    return canvas_g, scene, cut
+
+
+@jax.jit
+def _paste_first(canvas_g, scene, gray_b, mask_b, off):
+    Hb, Wb = gray_b.shape
+    pano_roi = jax.lax.dynamic_slice(canvas_g, (off[0], off[1]), (Hb, Wb))
+    scene_roi = jax.lax.dynamic_slice(scene, (off[0], off[1]), (Hb, Wb))
+    canvas_g = jax.lax.dynamic_update_slice(
+        canvas_g, jnp.where(mask_b, gray_b, pano_roi), (off[0], off[1]))
+    scene = jax.lax.dynamic_update_slice(
+        scene, scene_roi | mask_b, (off[0], off[1]))
+    return canvas_g, scene
+
+
+@functools.partial(jax.jit, static_argnames=("seq", "canvas_hw"))
+def _mutual_exclusion_dev(cuts, offs, seq, canvas_hw):
+    """Ownership by the latest covering image in ``seq`` (the reference's
+    mask-exclusion pass, _graph_cut.cpp:84-115), batched on device."""
+    N, Hb, Wb = cuts.shape
+    H, W = canvas_hw
+    owner = jnp.full((H + Hb, W + Wb), -1, jnp.int32)
+    for s in seq:
+        region = jax.lax.dynamic_slice(owner, (offs[s, 0], offs[s, 1]),
+                                       (Hb, Wb))
+        region = jnp.where(cuts[s], jnp.int32(s), region)
+        owner = jax.lax.dynamic_update_slice(
+            owner, region, (offs[s, 0], offs[s, 1]))
+    outs = []
+    for s in range(N):
+        region = jax.lax.dynamic_slice(owner, (offs[s, 0], offs[s, 1]),
+                                       (Hb, Wb))
+        outs.append(cuts[s] & (region == s))
+    return jnp.stack(outs)
+
+
+def graph_cut_state(state, seq: Sequence[int],
+                    progress: Optional[Callable[[float], None]] = None,
+                    cancelled: Optional[Callable[[], bool]] = None):
+    """Incremental graph-cut seams directly on a ComposeState's packed
+    device blocks. Returns the (N, Hb, Wb) bool seam-mask batch ON DEVICE
+    (ready to assign to state.seam_masks — no host round trip)."""
+    imgs, masks, offs = state.imgs, state.masks, state.offs
+    H, W = state.canvas_hw
+    N, Hb, Wb = masks.shape
+    gray = _gray_batch(imgs)
+    canvas_g = jnp.zeros((H + Hb, W + Wb), jnp.float32)
+    scene = jnp.zeros((H + Hb, W + Wb), bool)
+
+    outs: List = [None] * N
+    first = seq[0]
+    canvas_g, scene = _paste_first(canvas_g, scene, gray[first],
+                                   masks[first], offs[first])
+    outs[first] = masks[first]
+    n = max(1, len(seq) - 1)
+    for s in seq[1:]:
+        if cancelled is not None and cancelled():
+            raise RuntimeError("Process canceled")
+        canvas_g, scene, cut = _cut_step(canvas_g, scene, gray[s],
+                                         masks[s], offs[s])
+        outs[s] = cut
+        if progress is not None:
+            progress(1.0 / n)
+    return _mutual_exclusion_dev(jnp.stack(outs), offs, tuple(seq), (H, W))
+
+
+@jax.jit
+def _gray_batch(imgs):
+    return (0.114 * imgs[..., 0] + 0.587 * imgs[..., 1]
+            + 0.299 * imgs[..., 2])

@@ -218,17 +218,47 @@ def bundle_adjust_stitching(comp: Component,
         # Match capacity is a multiple of 512 (build_ba_data), so it
         # divides any power-of-two mesh.
         from simplepanorama_tpu.parallel.mesh import pipeline_mesh
-        mesh = pipeline_mesh()
-        if mesh is not None and data.mi.shape[0] % mesh.size == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            msh = NamedSharding(mesh, P("data"))
-            rep = NamedSharding(mesh, P())
-            data = jax.tree.map(lambda x: jax.device_put(x, msh), data)
-            cams0 = ba.CamState(
-                focal=jax.device_put(cams0.focal, rep),
-                ppal=jax.device_put(cams0.ppal, rep),
-                rotvec=jax.device_put(cams0.rotvec, rep),
-                b=jax.device_put(cams0.b, msh))
+        nproc = jax.process_count()
+        if nproc > 1:
+            # multi-host BA: match tables sharded over the GLOBAL mesh
+            # (each host feeds its contiguous match shard to its local
+            # devices; the normal-equation segment-sums psum over
+            # ICI+DCN). Every process runs this same deterministic host
+            # loop, so the SPMD dispatches line up.
+            from simplepanorama_tpu.parallel.multihost import global_mesh
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+            gmesh = global_mesh()
+            M = data.mi.shape[0]
+            if M % gmesh.devices.size == 0:
+                nl = M // nproc
+                pid = jax.process_index()
+
+                def shard_g(x):
+                    loc = np.asarray(x)[pid * nl:(pid + 1) * nl]
+                    return multihost_utils.host_local_array_to_global_array(
+                        loc, gmesh, P("data"))
+
+                def rep_g(x):
+                    return multihost_utils.host_local_array_to_global_array(
+                        np.asarray(x), gmesh, P())
+
+                data = jax.tree.map(shard_g, data)
+                cams0 = ba.CamState(
+                    focal=rep_g(cams0.focal), ppal=rep_g(cams0.ppal),
+                    rotvec=rep_g(cams0.rotvec), b=shard_g(cams0.b))
+        else:
+            mesh = pipeline_mesh()
+            if mesh is not None and data.mi.shape[0] % mesh.size == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                msh = NamedSharding(mesh, P("data"))
+                rep = NamedSharding(mesh, P())
+                data = jax.tree.map(lambda x: jax.device_put(x, msh), data)
+                cams0 = ba.CamState(
+                    focal=jax.device_put(cams0.focal, rep),
+                    ppal=jax.device_put(cams0.ppal, rep),
+                    rotvec=jax.device_put(cams0.rotvec, rep),
+                    b=jax.device_put(cams0.b, msh))
         active = jnp.zeros(n, bool).at[order[0][0]].set(True)
         on = jnp.asarray(order_nodes)
         oc = jnp.asarray(order_conns)

@@ -167,15 +167,25 @@ def set_config(res: StitchResult, images: Sequence[np.ndarray],
                                             st.canvas_hw, res.adj)
 
     if cfg.cut:
+        import jax as _jax
         from simplepanorama_tpu.render import graphcut
-        imgs_l, masks_l, corners_l = params._lists()
+        seq = [n for n, _ in res.order]
         with stage("graph_cut"):
-            seams_l = graphcut.graph_cut(
-                imgs_l, masks_l, corners_l,
-                [n for n, _ in res.order], progress=progress,
-                cancelled=cancelled)
-            st.seam_masks = _pack_state(imgs_l, masks_l, corners_l,
-                                        seams_l).seam_masks
+            if _jax.default_backend() == "cpu":
+                # host loop + native Dinic (the fast CPU solver); syncs
+                # per image by construction
+                imgs_l, masks_l, corners_l = params._lists()
+                seams_l = graphcut.graph_cut(
+                    imgs_l, masks_l, corners_l, seq, progress=progress,
+                    cancelled=cancelled)
+                st.seam_masks = _pack_state(imgs_l, masks_l, corners_l,
+                                            seams_l).seam_masks
+            else:
+                # accelerator: device-chain incremental cut — the canvas
+                # stays on device and the per-image solves pipeline with
+                # no host sync until the final mask download
+                st.seam_masks = graphcut.graph_cut_state(
+                    st, seq, progress=progress, cancelled=cancelled)
     elif cfg.blend == Blending.MULTI_BLEND or cfg.cut_seams:
         with stage("dist_cut"):
             st.seam_masks = compose.dist_cut_dev(st.masks, st.offs,
@@ -236,7 +246,30 @@ def render_full(params: StitchParams, cfg: Config,
                 full_images: Sequence[Optional[np.ndarray]]) -> np.ndarray:
     """Full-resolution re-render (stitch_parameters::return_full):
     rescale K by the full/preview resolution ratio, re-project, resize
-    seam masks, re-blend. ``full_images`` indexed like the component."""
+    seam masks (on device), re-blend. ``full_images`` indexed like the
+    component.
+
+    Dispatch: the streaming device path (render.fullres) — blocks are
+    warped, corrected and folded into the canvas accumulators one chunk
+    at a time and never round-trip to host lists; memory is bounded by
+    the canvas + one chunk regardless of image count. The stereographic
+    center fix needs a global circle estimate + per-image disk remap of
+    the full-res warp (host detour by design), so fix_center +
+    STEREOGRAPHIC keeps the host path."""
+    if cfg.fix_center and cfg.proj == Projection.STEREOGRAPHIC:
+        return render_full_host(params, cfg, full_images)
+    from simplepanorama_tpu.render.fullres import render_full_dev
+    from simplepanorama_tpu.utils.timing import stage
+    with stage("render_full"):
+        return render_full_dev(params, cfg, full_images)
+
+
+def render_full_host(params: StitchParams, cfg: Config,
+                     full_images: Sequence[Optional[np.ndarray]]
+                     ) -> np.ndarray:
+    """Host-list full-res path (the round-2 formulation; kept as the
+    oracle for the streaming device path and for the stereographic
+    center re-fix, whose circle estimate is host-global)."""
     import cv2
     res = params.res
     n = len(res.nodes)

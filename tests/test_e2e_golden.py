@@ -113,6 +113,26 @@ def test_fkh360_sequence():
 
 
 @pytest.mark.slow
+def test_map_full_resolution_render():
+    """--full-res smoke (VERDICT r2 item 9): the streaming device path
+    (render.fullres) re-renders map at native resolution; geometry scales
+    by the resolution ratio and content still matches the golden JPG."""
+    paths = sorted(glob.glob(f"{RES}/map/budapest*.jpg"))
+    p = _stitch(paths, _cfg())
+    prev = p.get_preview()
+    full = p.get_panorama()
+    h, w = prev.shape[:2]
+    fh, fw = full.shape[:2]
+    # inputs are 1142 px wide vs the 400-px working resolution
+    ratio = fw / w
+    assert 2.3 < ratio < 3.4, f"full/preview ratio {ratio:.2f}"
+    assert abs(fh / fw - h / w) < 0.03
+    assert (full.sum(-1) > 0).mean() > 0.85
+    score = ncc_aligned(full, f"{RES}/map/map.jpg", max_vshift=0.1)
+    assert score > 0.5, f"aligned NCC {score:.3f}"
+
+
+@pytest.mark.slow
 def test_stereographic_center_fix_e2e():
     """Stereographic little planet on the real 360 sequence: without the
     fix the nadir is a large hole; with fix_center the circle is detected,

@@ -218,3 +218,53 @@ def test_pallas_mincut_matches_xla():
     v_p = _cut_value(wh, wv, excess, node, side_p)
     exact = _scipy_mincut_value(wh, wv, excess, node)
     assert abs(v_p - exact) <= 1e-3 * max(1.0, exact), (v_p, exact)
+
+
+def test_device_chain_matches_host_loop():
+    """The device-chain incremental cut (graph_cut_state — canvas resident,
+    no per-image host sync) must reproduce the host-loop graph_cut when
+    both use the same solver (ties broken identically)."""
+    import jax
+    from simplepanorama_tpu.render import graphcut as gc
+    from simplepanorama_tpu.render.compose import ComposeState
+
+    rng = np.random.default_rng(3)
+    n, Hb, Wb = 3, 48, 128
+    H, W = 80, 256
+    imgs = rng.uniform(0, 255, (n, Hb, Wb, 3)).astype(np.float32)
+    masks = np.zeros((n, Hb, Wb), bool)
+    offs = np.array([[0, 0], [10, 60], [20, 120]], np.int32)
+    rois = []
+    for i in range(n):
+        h, w = 40 + i, 100 + 5 * i
+        masks[i, 1:h - 1, 1:w - 1] = True
+        rois.append((int(offs[i, 1]), int(offs[i, 0]), w, h))
+    state = ComposeState(imgs=jnp.asarray(imgs), masks=jnp.asarray(masks),
+                         offs=jnp.asarray(offs), rois=rois,
+                         canvas_hw=(H, W), min_xy=(0, 0))
+    seq = [0, 1, 2]
+
+    # host loop on the equivalent per-image lists, forced onto the SAME
+    # push-relabel solver (the native-Dinic fast path may break min-cut
+    # ties differently)
+    imgs_l = [imgs[i, :r[3], :r[2]] for i, r in enumerate(rois)]
+    masks_l = [masks[i, :r[3], :r[2]] for i, r in enumerate(rois)]
+    corners_l = [(r[0], r[1]) for r in rois]
+    orig_solve = gc._solve_cut
+
+    def forced(wh, wv, excess, obj, mask2):
+        from simplepanorama_tpu.ops.maxflow import grid_mincut as gm
+        return jnp.where(obj, gm(wh, wv, excess, obj), mask2 > 0)
+
+    gc._solve_cut = forced
+    try:
+        seams_host = gc.graph_cut(imgs_l, masks_l, corners_l, seq)
+    finally:
+        gc._solve_cut = orig_solve
+
+    seams_dev = np.asarray(gc.graph_cut_state(state, seq))
+    for i, r in enumerate(rois):
+        dev_i = seams_dev[i, :r[3], :r[2]]
+        host_i = np.asarray(seams_host[i])
+        agree = (dev_i == host_i).mean()
+        assert agree > 0.995, f"image {i}: {agree:.4f}"

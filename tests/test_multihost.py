@@ -61,6 +61,124 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_WORKER_MATCH_BA = textwrap.dedent("""
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid, outp = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import cv2, glob
+    sys.path.insert(0, "/root/repo")
+    from simplepanorama_tpu.config import Config
+    from simplepanorama_tpu.io import clamp_to_init_size
+    from simplepanorama_tpu.features import extract_features
+    from simplepanorama_tpu.adjacency import build_adjacency
+    from simplepanorama_tpu.geometry.graph import connected_components
+    from simplepanorama_tpu.geometry.focal import focal_from_hom
+    from simplepanorama_tpu.stitch import bundle_adjust_stitching
+
+    paths = sorted(glob.glob(
+        "/root/reference/results/map/budapest*.jpg"))[:4]
+    imgs = [clamp_to_init_size(cv2.imread(p), 300) for p in paths]
+    cfg = Config(); cfg.init_size = 300; cfg.RANSAC_iterations = 500
+    feats = extract_features(imgs, cfg)
+    # the multihost path must keep the device feature tables alive
+    assert feats.device_batch is not None
+    sizes = [im.shape[:2] for im in imgs]
+    adjres = build_adjacency(feats, sizes, cfg)       # pairs host-sharded
+    comp = connected_components(adjres.adj)[0]
+    focal = focal_from_hom(adjres.hom_mat, adjres.adj)
+    if focal <= 0: focal = float(cfg.focal)
+    res = bundle_adjust_stitching(comp, adjres, sizes, focal, cfg)
+    out = {"adj": adjres.adj.tolist(),
+           "nodes": list(map(int, res.nodes)),
+           "focal": [float(f) for f in res.K[:, 0, 0]],
+           "rot": [r.tolist() for r in res.rot]}
+    open(outp, "w").write(json.dumps(out))
+    print(f"proc {pid}: ok", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_match_and_ba(tmp_path):
+    """Pair verification host-sharded + BA over the global mesh: the
+    2-process result must match the single-process pipeline (per-pair
+    RANSAC keys make the adjacency identical; LM differs only by float
+    reassociation across the different mesh)."""
+    if os.environ.get("SPT_TEST_PLATFORM", "cpu") != "cpu":
+        pytest.skip("multi-process smoke runs on the CPU backend")
+    import cv2
+    import glob
+    from simplepanorama_tpu.config import Config
+    from simplepanorama_tpu.io import clamp_to_init_size
+    from simplepanorama_tpu.features import extract_features
+    from simplepanorama_tpu.adjacency import build_adjacency
+    from simplepanorama_tpu.geometry.graph import connected_components
+    from simplepanorama_tpu.geometry.focal import focal_from_hom
+    from simplepanorama_tpu.stitch import bundle_adjust_stitching
+
+    paths = sorted(glob.glob(
+        "/root/reference/results/map/budapest*.jpg"))[:4]
+    imgs = [clamp_to_init_size(cv2.imread(p), 300) for p in paths]
+    cfg = Config()
+    cfg.init_size = 300
+    cfg.RANSAC_iterations = 500
+    feats = extract_features(imgs, cfg)
+    sizes = [im.shape[:2] for im in imgs]
+    adjres = build_adjacency(feats, sizes, cfg)
+    comp = connected_components(adjres.adj)[0]
+    focal = focal_from_hom(adjres.hom_mat, adjres.adj)
+    res = bundle_adjust_stitching(comp, adjres, sizes, focal, cfg)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_mb.py"
+    script.write_text(_WORKER_MATCH_BA)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    outs = [tmp_path / f"out{i}.json" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(i), str(outs[i])],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process match+BA timed out")
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{log[-3000:]}"
+
+    import json
+    r0 = json.loads(outs[0].read_text())
+    r1 = json.loads(outs[1].read_text())
+    # both processes hold the identical global result
+    assert r0 == r1
+    # adjacency bit-matches single-process (per-pair keys)
+    np.testing.assert_allclose(np.array(r0["adj"]), adjres.adj,
+                               rtol=0, atol=1e-5)
+    assert r0["nodes"] == list(map(int, res.nodes))
+    # BA within float-reassociation tolerance of the single-process run
+    np.testing.assert_allclose(np.array(r0["focal"]), res.K[:, 0, 0],
+                               rtol=0.01)
+    for a, b in zip(r0["rot"], res.rot):
+        A = np.array(a)
+        c = (np.trace(A @ b.T) - 1.0) / 2.0
+        ang = np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+        assert ang < 0.5, f"rotation deviates {ang:.3f} deg"
+
+
 @pytest.mark.slow
 def test_two_process_feature_shard_and_psum(tmp_path):
     if os.environ.get("SPT_TEST_PLATFORM", "cpu") != "cpu":

@@ -107,3 +107,37 @@ def test_halo_exchange_roundtrip():
         src_hi = min(hi, W)
         expect[:, src_lo - lo:src_hi - lo] = xs[:, src_lo:src_hi]
         np.testing.assert_array_equal(sl, expect)
+
+
+def test_fullres_sharded_schedules_smoke():
+    """Both full-res mesh schedules (image-DP and the canvas-column
+    warp_tiled pattern) compile and agree on a tiny synthetic problem;
+    the real-sequence parity lives in test_fullres (slow)."""
+    from simplepanorama_tpu.parallel import tiled_compose as tc
+    m, Hs, Ws = 3, 32, 48
+    rng_l = np.random.default_rng(0)
+    src = jnp.asarray(rng_l.integers(0, 255, (m, Hs, Ws, 3)).astype(
+        np.uint8))
+    Ka = jnp.tile((jnp.eye(3) * jnp.asarray([40., 40., 1.])[:, None])
+                  .astype(jnp.float32), (m, 1, 1))
+    R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (m, 1, 1))
+    corner = jnp.asarray([[0., 0.], [10., 0.], [20., 0.]], jnp.float32)
+    vhw = jnp.asarray([[32, 48]] * m, jnp.int32)
+    wh = jnp.asarray([[40, 30]] * m, jnp.int32)
+    offs = jnp.asarray([[0, 0], [0, 10], [0, 20]], jnp.int32)
+    sb = jnp.ones((m, 16, 24), jnp.float32)
+    sr = jnp.full((m, 2), 0.5, jnp.float32)
+    fb = jnp.zeros((m, 1, 1), jnp.float32)
+    fr = jnp.ones((m, 2), jnp.float32)
+    g = jnp.ones((m,), jnp.float32)
+    kw = dict(scale=40.0, kind="spherical", canvas_hw=(64, 256),
+              min_xy=(0, 0), bands=2, sigma=3.0, use_seam=True,
+              use_field=False, mesh=make_mesh(8))
+    canvas = np.asarray(tc.fullres_multi_canvas(
+        src, Ka, R, corner, vhw, wh, offs, sb, sr, fb, fr, g, **kw))
+    dp = np.asarray(tc.fullres_multi_dp(
+        src, (40, 128), Ka, R, corner, vhw, wh, offs, sb, sr, fb, fr, g,
+        **kw))
+    assert canvas.shape == dp.shape == (64, 256, 3)
+    diff = np.abs(canvas.astype(np.float32) - dp.astype(np.float32))
+    assert (diff > 2).mean() < 0.01, f"{(diff > 2).mean():.4f}"
