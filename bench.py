@@ -190,12 +190,12 @@ def bench_mincut():
 # peak dense f32/bf16 FLOP/s per chip kind (public spec sheets); used to
 # turn achieved FLOP/s into utilization where the kind is recognized
 _PEAK_FLOPS = {
-    # device_kind substring -> (f32 peak, bf16 peak)
-    "v5 lite": (98.3e12 / 2, 197e12),     # v5e: 197 bf16 TFLOPs
-    "v5e": (98.3e12 / 2, 197e12),
-    "v4": (137.5e12 / 2, 275e12),
-    "v5p": (229.5e12 / 2, 459e12),
-    "v6": (459e12 / 2, 918e12),
+    # device_kind substring -> (f32 peak FLOP/s, HBM bandwidth B/s)
+    "v5 lite": (98.3e12 / 2, 819e9),      # v5e: 197 bf16 TFLOPs, 819 GB/s
+    "v5e": (98.3e12 / 2, 819e9),
+    "v4": (137.5e12 / 2, 1228e9),
+    "v5p": (229.5e12 / 2, 2765e9),
+    "v6": (459e12 / 2, 1640e9),
 }
 
 
@@ -232,10 +232,16 @@ def _mfu_entry(fn, args, label, repeats=5):
             round(flops / bytes_acc, 2) if bytes_acc else None,
     }
     kind = jax.devices()[0].device_kind.lower()
-    for k, (pf32, pbf16) in _PEAK_FLOPS.items():
+    for k, (pf32, bw) in _PEAK_FLOPS.items():
         if k in kind:
             entry["peak_f32_tflops"] = pf32 / 1e12
             entry["utilization_vs_f32_peak"] = round(achieved / pf32, 4)
+            # bandwidth-bound kernels (intensity below the roofline knee)
+            # are better judged against the HBM peak
+            if dt > 0 and bytes_acc:
+                entry["achieved_gb_per_s"] = round(bytes_acc / dt / 1e9, 1)
+                entry["utilization_vs_hbm_peak"] = round(
+                    bytes_acc / dt / bw, 4)
             break
     return entry
 

@@ -77,6 +77,10 @@ class Config:
     # Detector keypoint capacity per image. SIFT on TPU must emit a fixed
     # number of slots; invalid slots carry a validity mask. The reference's
     # nfeatures=0 means "unlimited"; this is the static bound we pad to.
+    # Capacity sensitivity (measured, tests/test_adjacency_parity.py):
+    # raising to 2048 changes NOTHING about the accepted pair set or
+    # weights on brocken/front — the default stays 1024 (half the
+    # SIFT/matching cost for identical adjacency).
     max_kp_detect: int = 1024
     # Static capacity of per-pair candidate matches fed to RANSAC.
     max_matches_per_pair: int = 512

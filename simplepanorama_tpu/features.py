@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -146,20 +147,49 @@ def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
     if mesh is not None:
         batch_d, hw_d = shard_leading((batch_d, hw_d), mesh)
 
-    fb = extract_sift_batch(
-        batch_d, hw_d,
-        max_kp=K,
-        n_layers=cfg.nOctaveLayers,
-        contrast_thresh=float(cfg.contrastThreshold),
-        edge_thresh=float(cfg.edgeThreshold),
-        sigma=float(cfg.sigma_sift))
+    # SIFT holds a 2x-upsampled multi-level pyramid + gradient buffers per
+    # image; a whole 12-image batch at init 700 exceeds a 16 GB chip
+    # (measured: 16.22G HBM temps for 12x(704,528) — XLA materializes the
+    # grouped-conv pyramid through 12x-padded transposed copies, so the
+    # practical footprint is ~1.35 GB/image, far above the unpadded
+    # estimate). Chunk the batch to a budget using the MEASURED per-image
+    # factor — per-chunk shapes are identical, so it is still ONE
+    # compiled program, dispatched ceil(n/G) times with no host sync.
+    per_img = Hp * Wp * (cfg.nOctaveLayers + 3) * 550
+    budget = int(os.environ.get("SPT_SIFT_MEM_BUDGET", 9_000_000_000))
+    G = max(1, min(nb, budget // max(1, per_img)))
+    if mesh is not None:
+        G = max(mesh.size, G // mesh.size * mesh.size)
+    outs = []
+    for s in range(0, nb, G):
+        blk = slice(s, s + G)
+        pad = G - min(G, nb - s)
+        bb, hb = batch_d[blk], hw_d[blk]
+        if pad:  # trailing chunk: pad to the chunk shape (slots invalid)
+            bb = jnp.pad(bb, ((0, pad),) + ((0, 0),) * 3)
+            hb = jnp.pad(hb, ((0, pad), (0, 0)), constant_values=8)
+        fb = extract_sift_batch(
+            bb, hb,
+            max_kp=K,
+            n_layers=cfg.nOctaveLayers,
+            contrast_thresh=float(cfg.contrastThreshold),
+            edge_thresh=float(cfg.edgeThreshold),
+            sigma=float(cfg.sigma_sift))
+        outs.append(fb)
+    if len(outs) == 1:
+        fb = outs[0]
+    else:
+        import jax as _jax
+        fb = _jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
     # center-origin shift ON DEVICE (integer halves — the reference's
     # ``pt.x - img.cols / 2`` convention), invalid slots zeroed, so the
     # returned tables are directly consumable by the matching stage.
     # Shift + the 5 trims run as ONE dispatch (each eager slice is a
     # round trip on a network-attached device).
+    hw_full = jnp.pad(hw_d, ((0, fb.xy.shape[0] - nb), (0, 0)),
+                      constant_values=8) if fb.xy.shape[0] > nb else hw_d
     return _shift_and_trim(fb.xy, fb.size, fb.response, fb.desc,
-                           fb.valid, hw_d, n), batch_d
+                           fb.valid, hw_full, n), batch_d
 
 
 @jax.jit

@@ -23,6 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e18   # python float: usable both in XLA and inside Pallas kernels
               # (a jnp scalar would be a captured constant there)
@@ -389,10 +391,326 @@ def grid_mincut_pallas(cap_h, cap_v, excess0, node,
     return out > 0.5
 
 
-def grid_mincut_auto(cap_h, cap_v, excess0, node, **kw):
-    """Backend dispatch: the single-launch Pallas kernel on TPU when the
-    solver state fits VMEM, the XLA while_loop formulation otherwise."""
+# ---------------------------------------------------------------------------
+# Row-tiled Pallas solver: state in HBM, tiles streamed through VMEM
+# ---------------------------------------------------------------------------
+# Beyond ~1.2M cells the whole-solver state no longer fits VMEM. This
+# variant keeps the six state planes (4 residual caps, excess, heights)
+# in HBM and streams row tiles (+1 halo row each side) through VMEM
+# scratch with async DMA. Tiles are processed SEQUENTIALLY inside one
+# kernel launch, which makes cross-tile flow exact: a push from a tile's
+# edge row lands in its halo row, and the updated halo is simply stored
+# back before the neighbor tile loads it (block-asynchronous
+# push-relabel — heights read from a neighbor may be stale-low, which
+# only under-lifts a relabel and preserves the h(u) <= h(v)+1 validity
+# invariant, so the max-flow/min-cut result is unchanged). The BFS
+# global relabel runs the same min-plus doubling scans per tile, with
+# alternating down/up tile orders until a full round changes nothing.
+
+def _mincut_tiled_kernel(caph_hbm, capv_hbm, exc_hbm, node_hbm,
+                         side_hbm, c0_hbm, c1_hbm, c2_hbm, c3_hbm,
+                         e_hbm, d_hbm,
+                         tiles, flags, sems, *,
+                         n_tiles, tile_rows, width,
+                         max_outer, inner_iters, n_pass):
+    Tr, W = tile_rows, width
+    # Mosaic DMA slices must be 8-row aligned: the halo is 8 rows each
+    # side (flow only ever crosses into the first halo row per phase;
+    # the rest ride along unchanged)
+    Tv = Tr + 16
+    row = jax.lax.broadcasted_iota(jnp.int32, (Tv, W), 0)
+    interior = (row >= 8) & (row < 8 + Tr)
+
+    def dma(src, dst, sem):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    def load(hbm, slot, r0):
+        dma(hbm.at[pl.ds(r0, Tv)], tiles.at[slot], sems.at[slot])
+
+    def store(hbm, slot, r0):
+        dma(tiles.at[slot], hbm.at[pl.ds(r0, Tv)], sems.at[slot])
+
+    # slots: 0..3 caps, 4 e, 5 d/h, 6 node/aux
+    def load_state(r0):
+        for s, hbm in enumerate((c0_hbm, c1_hbm, c2_hbm, c3_hbm,
+                                 e_hbm, d_hbm)):
+            load(hbm, s, r0)
+        load(node_hbm, 6, r0)
+
+    def store_state(r0, slots):
+        for s, hbm in ((0, c0_hbm), (1, c1_hbm), (2, c2_hbm),
+                       (3, c3_hbm), (4, e_hbm), (5, d_hbm)):
+            if s in slots:
+                store(hbm, s, r0)
+
+    # ---- INIT: residual caps + clipped excess from the inputs ----
+    def init_tile(t, _):
+        r0 = t * Tr
+        load(caph_hbm, 0, r0)
+        load(capv_hbm, 2, r0)
+        load(node_hbm, 6, r0)
+        load(exc_hbm, 4, r0)
+        node = tiles[6] > 0
+        nodef = node.astype(jnp.float32)
+        cap_h = tiles[0] * nodef * _shift_n(nodef, 0, 1, 0.0)
+        # vertical caps couple rows: the halo rows supply the neighbors
+        cap_v = tiles[2] * nodef * _shift_n(nodef, 1, 0, 0.0)
+        c0 = cap_h
+        c1 = _shift_n(cap_h, 0, -1, 0.0)
+        c2 = cap_v
+        c3 = _shift_n(cap_v, -1, 0, 0.0)
+        cap_sum = c0 + c1 + c2 + c3 + 1.0
+        e = jnp.clip(jnp.where(node, tiles[4], 0.0), -cap_sum, cap_sum)
+        tiles[0] = c0
+        tiles[1] = c1
+        tiles[2] = c2
+        tiles[3] = c3
+        tiles[4] = e
+        tiles[5] = jnp.where((e < 0) & node, 0.0, _INF)
+        # interior-only store: halo rows belong to the neighbor tiles
+        # (their own init computes them with THEIR halos)
+        for s, hbm in ((0, c0_hbm), (1, c1_hbm), (2, c2_hbm),
+                       (3, c3_hbm), (4, e_hbm), (5, d_hbm)):
+            dma(tiles.at[s, pl.ds(8, Tr)], hbm.at[pl.ds(r0 + 8, Tr)],
+                sems.at[s])
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, init_tile, 0)
+
+    # ---- BFS to fixpoint: scan passes per tile, alternating tile order
+    def bfs_tile(t, _):
+        r0 = t * Tr
+        load_state(r0)
+        node = tiles[6] > 0
+        nodef = node.astype(jnp.float32)
+        # the two global guard rows are never written: sanitize by node
+        caps = tuple(tiles[k] * nodef for k in range(4))
+        d0 = jnp.where(node, tiles[5], _INF)
+        e_t = jnp.where(node, tiles[4], 0.0)
+        # re-seed sinks (e may have changed since d was stored)
+        d0 = jnp.minimum(d0, jnp.where((e_t < 0) & node, 0.0, _INF))
+        w_down = jnp.where(caps[3] > 0, 1.0, _INF)
+        w_up = jnp.where(caps[2] > 0, 1.0, _INF)
+        w_right = jnp.where(caps[1] > 0, 1.0, _INF)
+        w_left = jnp.where(caps[0] > 0, 1.0, _INF)
+
+        def pbody(st):
+            it, d, _ = st
+            prev = d
+            d = _minplus_scan(d, w_down, 1, 0, Tv)
+            d = _minplus_scan(d, w_up, -1, 0, Tv)
+            d = _minplus_scan(d, w_right, 0, 1, W)
+            d = _minplus_scan(d, w_left, 0, -1, W)
+            d = jnp.where(node, d, _INF)
+            return it + 1, d, jnp.any(d < prev)
+
+        def pcond(st):
+            it, _, ch = st
+            return (it < n_pass) & ch
+
+        _, d, _ = jax.lax.while_loop(pcond, pbody,
+                                     (jnp.int32(0), d0, jnp.bool_(True)))
+        changed = jnp.any(d < d0)
+        tiles[5] = d
+        dma(tiles.at[5, pl.ds(8, Tr)], d_hbm.at[pl.ds(r0 + 8, Tr)],
+            sems.at[5])
+
+        @pl.when(changed)
+        def _():
+            flags[0] = 1
+        return 0
+
+    def bfs_full():
+        # fresh seed: overwrite d with the sink indicator tile by tile
+        def seed(t, _):
+            r0 = t * Tr
+            load(e_hbm, 4, r0)
+            load(node_hbm, 6, r0)
+            node = tiles[6] > 0
+            e_t = jnp.where(node, tiles[4], 0.0)
+            tiles[5] = jnp.where((e_t < 0) & node, 0.0, _INF)
+            dma(tiles.at[5, pl.ds(8, Tr)], d_hbm.at[pl.ds(r0 + 8, Tr)],
+                sems.at[5])
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, seed, 0)
+
+        def round_body(st):
+            rnd, _ = st
+            flags[0] = 0
+
+            def down(t, _):
+                return bfs_tile(t, _)
+
+            def up(t, _):
+                return bfs_tile(n_tiles - 1 - t, _)
+
+            jax.lax.cond(rnd % 2 == 0,
+                         lambda: jax.lax.fori_loop(0, n_tiles, down, 0),
+                         lambda: jax.lax.fori_loop(0, n_tiles, up, 0))
+            return rnd + 1, flags[0] > 0
+
+        def round_cond(st):
+            rnd, ch = st
+            return (rnd < n_pass) & ch
+
+        jax.lax.while_loop(round_cond, round_body,
+                           (jnp.int32(0), jnp.bool_(True)))
+
+    # ---- one push-relabel phase over all tiles (sequential, exact) ----
+    def push_tile(t, _):
+        r0 = t * Tr
+        load_state(r0)
+        node = tiles[6] > 0
+        nodef = node.astype(jnp.float32)
+        caps = [tiles[k] * nodef for k in range(4)]
+        e = jnp.where(node, tiles[4], 0.0)
+        h = jnp.where(node, tiles[5], _INF)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift_n(h, dy, dx, _INF)
+            adm = interior & (e > 0) & (h == h_nb + 1.0) & (caps[k] > 0)
+            flow = jnp.where(adm, jnp.minimum(e, caps[k]), 0.0)
+            caps[k] = caps[k] - flow
+            back = _shift_n(flow, -dy, -dx, 0.0)
+            caps[_REV[k]] = caps[_REV[k]] + back
+            e = e - flow + back
+        min_h = jnp.full_like(h, _INF)
+        adm_any = jnp.zeros_like(h, dtype=jnp.bool_)
+        for k, (dy, dx) in enumerate(_DIRS):
+            h_nb = _shift_n(h, dy, dx, _INF)
+            has = caps[k] > 0
+            min_h = jnp.minimum(min_h, jnp.where(has, h_nb, _INF))
+            adm_any = adm_any | (has & (h == h_nb + 1.0))
+        lift = interior & (e > 0) & (~adm_any) & (min_h < _INF)
+        h = jnp.where(lift, min_h + 1.0, h)
+        tiles[0], tiles[1], tiles[2], tiles[3] = caps
+        tiles[4] = e
+        tiles[5] = h
+        # store the FULL local view: halo rows carry the cross-tile flow
+        # (received excess + reverse capacity) to the neighbor tiles
+        store_state(r0, (0, 1, 2, 3, 4, 5))
+        return 0
+
+    # ---- outer loop: pushes then BFS; BFS doubles as termination ----
+    def check_tile(t, _):
+        r0 = t * Tr
+        load(e_hbm, 4, r0)
+        load(d_hbm, 5, r0)
+        load(node_hbm, 6, r0)
+        node_i = tiles[6][8:Tr + 8] > 0
+        work = jnp.any(node_i & (tiles[4][8:Tr + 8] > 0)
+                       & (tiles[5][8:Tr + 8] < _INF))
+
+        @pl.when(work)
+        def _():
+            flags[1] = 1
+        return 0
+
+    def outer_body(st):
+        it, _ = st
+
+        def phase(p, _):
+            return jax.lax.fori_loop(0, n_tiles, push_tile, 0) * 0
+
+        jax.lax.fori_loop(0, inner_iters, phase, 0)
+        bfs_full()
+        flags[1] = 0
+        jax.lax.fori_loop(0, n_tiles, check_tile, 0)
+        return it + 1, flags[1] > 0
+
+    def outer_cond(st):
+        it, work = st
+        return (it < max_outer) & work
+
+    bfs_full()
+    flags[1] = 0
+    jax.lax.fori_loop(0, n_tiles, check_tile, 0)
+    jax.lax.while_loop(outer_cond, outer_body,
+                       (jnp.int32(0), flags[1] > 0))
+
+    # ---- final side: unreachable-from-sink nodes ----
+    def side_tile(t, _):
+        r0 = t * Tr
+        load(d_hbm, 5, r0)
+        load(node_hbm, 6, r0)
+        side = ((tiles[5] >= _INF) & (tiles[6] > 0)).astype(jnp.float32)
+        tiles[4] = side
+        dma(tiles.at[4, pl.ds(8, Tr)], side_hbm.at[pl.ds(r0 + 8, Tr)],
+            sems.at[4])
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, side_tile, 0)
+
+
+def grid_mincut_pallas_tiled(cap_h, cap_v, excess0, node,
+                             max_outer: int = 400, inner_iters: int = 30,
+                             sweep_iters: int = 0,
+                             tile_rows: int = 512,
+                             interpret: bool = False):
+    """grid_mincut for grids beyond VMEM: HBM-resident state, row tiles
+    streamed through VMEM scratch (one kernel launch)."""
+    from jax.experimental import pallas as _pl
+
     H, W = cap_h.shape
-    if jax.default_backend() == "tpu" and H * W <= _PALLAS_MAX_CELLS:
-        return grid_mincut_pallas(cap_h, cap_v, excess0, node, **kw)
+    Wp = (W + 127) // 128 * 128
+    Tr = min(tile_rows, (H + 7) // 8 * 8)
+    T = (H + Tr - 1) // Tr
+    H2 = T * Tr + 16
+    if sweep_iters <= 0:
+        sweep_iters = H + W + 4
+
+    def padp(x, fill=0.0):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((8, H2 - 8 - H), (0, Wp - W)),
+                       constant_values=fill)
+
+    args = (padp(cap_h), padp(cap_v), padp(excess0), padp(node))
+    kern = functools.partial(
+        _mincut_tiled_kernel, n_tiles=T, tile_rows=Tr, width=Wp,
+        max_outer=max_outer, inner_iters=inner_iters, n_pass=sweep_iters)
+    out_shapes = [jax.ShapeDtypeStruct((H2, Wp), jnp.float32)] * 7
+    from jax.experimental.pallas import tpu as pltpu_
+    kwargs = dict(
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        scratch_shapes=[
+            pltpu_.VMEM((7, Tr + 16, Wp), jnp.float32),
+            pltpu_.SMEM((2,), jnp.int32),
+            pltpu_.SemaphoreType.DMA((7,)),
+        ],
+        interpret=interpret,
+    )
+    if not interpret:
+        kwargs["compiler_params"] = pltpu_.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024)
+    outs = _pl.pallas_call(kern, **kwargs)(*args)
+    side = outs[0]
+    return side[8:H + 8, :W] > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer", "inner_iters",
+                                             "sweep_iters", "tile_rows",
+                                             "interpret"))
+def _tiled_jit(cap_h, cap_v, excess0, node, max_outer, inner_iters,
+               sweep_iters, tile_rows, interpret):
+    return grid_mincut_pallas_tiled(cap_h, cap_v, excess0, node,
+                                    max_outer, inner_iters, sweep_iters,
+                                    tile_rows, interpret)
+
+
+def grid_mincut_auto(cap_h, cap_v, excess0, node, **kw):
+    """Backend dispatch: the single-launch in-VMEM Pallas kernel on TPU
+    when the solver state fits, the row-tiled HBM-resident kernel for
+    larger grids, the XLA while_loop formulation elsewhere."""
+    H, W = cap_h.shape
+    if jax.default_backend() == "tpu":
+        if H * W <= _PALLAS_MAX_CELLS:
+            return grid_mincut_pallas(cap_h, cap_v, excess0, node, **kw)
+        return _tiled_jit(cap_h, cap_v, excess0, node,
+                          kw.get("max_outer", 400),
+                          kw.get("inner_iters", 30),
+                          kw.get("sweep_iters", 0), 512, False)
     return grid_mincut(cap_h, cap_v, excess0, node, **kw)

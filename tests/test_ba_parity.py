@@ -99,9 +99,16 @@ def test_ba_rotation_focal_parity(seq):
     # focal envelope
     assert our_f.min() >= f_lo and our_f.max() <= f_hi, \
         f"our focals {np.round(our_f, 1)} outside [{f_lo:.0f}, {f_hi:.0f}]"
-    # internal consistency (every oracle run's cameras agree to <1%)
+    # internal consistency: cameras of one solution agree with each other
+    # at least as tightly as the reference's own runs do (brocken's
+    # reference runs spread ~3.5% internally; map's ~0.5%)
+    ref_internal = max(
+        (f.max() - f.min()) / f.mean()
+        for f in (np.array(r["K"])[:, 0] for r in runs))
     internal = (our_f.max() - our_f.min()) / our_f.mean()
-    assert internal < 0.02, f"internal focal spread {internal:.4f}"
+    bound = max(0.02, 1.5 * ref_internal)
+    assert internal < bound, \
+        f"internal focal spread {internal:.4f} > {bound:.4f}"
 
     # gauge-free rotation parity: best oracle run must be within bound
     ours_rel = _rel_rots(our_R)

@@ -19,9 +19,13 @@
 #include "_homography.h"
 
 int main(int argc, char** argv) {
-    int init_size = argc > 1 ? std::atoi(argv[1]) : 700;
+    std::string seq = argc > 1 ? argv[1] : "map";
+    int init_size = argc > 2 ? std::atoi(argv[2]) : 700;
+    std::string pattern = seq == "map"
+        ? "/root/reference/results/map/budapest*.jpg"
+        : "/root/reference/results/" + seq + "/resized*.jpg";
     std::vector<std::string> paths;
-    cv::glob("/root/reference/results/map/budapest*.jpg", paths);
+    cv::glob(pattern, paths);
     std::sort(paths.begin(), paths.end());
 
     std::vector<cv::Mat> imgs;
