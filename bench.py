@@ -184,6 +184,50 @@ def bench_mincut():
     except Exception as e:              # native toolchain unavailable
         out["dinic_host_seconds"] = None
         out["dinic_error"] = str(e)
+
+    # beyond-VMEM grid: the row-tiled HBM-resident kernel (TPU only).
+    # NOTE: first-ever compile of this kernel takes ~10 min on the remote
+    # helper; it is cached, so steady-state runs measure the solve.
+    if jax.default_backend() == "tpu":
+        import cv2 as _cv2
+        img2 = _cv2.resize(img, (2800, 2200))
+        g2 = (0.114 * img2[..., 0] + 0.587 * img2[..., 1]
+              + 0.299 * img2[..., 2]).astype(np.float32)
+        Hb, Wb = 2000, 1536
+        m1b = np.zeros((Hb, Wb), np.float32)
+        m1b[2:Hb - 2, 2:int(Wb * 0.60)] = 255.0
+        m2b = np.zeros((Hb, Wb), np.float32)
+        m2b[2:Hb - 2, int(Wb * 0.35):Wb - 2] = 255.0
+        big = _build_cut_graph(
+            jnp.asarray(g2[:Hb, :Wb]),
+            jnp.asarray(g2[40:40 + Hb, 180:180 + Wb]),
+            jnp.asarray(m1b), jnp.asarray(m2b))
+        try:
+            # what callers get: node-bbox crop routes the overlap band
+            # back into the in-VMEM kernel
+            side = grid_mincut(*big)
+            np.asarray(side)
+            t0 = time.time()
+            side = grid_mincut(*big)
+            np.asarray(side)
+            t_big = time.time() - t0
+            out["big_grid_auto"] = {
+                "grid": f"{Hb}x{Wb}", "device_seconds": round(t_big, 4),
+                "mpix_per_s": round(Hb * Wb / t_big / 1e6, 3)}
+            # the raw row-tiled HBM kernel on the FULL uncropped grid
+            from simplepanorama_tpu.ops.maxflow import _tiled_jit
+            args = tuple(a.astype(jnp.float32) for a in big)
+            side = _tiled_jit(*args, 400, 30, 0, 512, False)
+            np.asarray(side)
+            t0 = time.time()
+            side = _tiled_jit(*args, 400, 30, 0, 512, False)
+            np.asarray(side)
+            t_big = time.time() - t0
+            out["big_grid_tiled_full"] = {
+                "grid": f"{Hb}x{Wb}", "device_seconds": round(t_big, 4),
+                "mpix_per_s": round(Hb * Wb / t_big / 1e6, 3)}
+        except Exception as e:
+            out["big_grid_auto"] = {"error": str(e)[:200]}
     return out
 
 

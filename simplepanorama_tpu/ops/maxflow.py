@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -380,7 +381,7 @@ def grid_mincut_pallas(cap_h, cap_v, excess0, node,
         # scoped-VMEM budget at production sizes; v5e has 128 MB VMEM
         from jax.experimental.pallas import tpu as pltpu
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=127 * 1024 * 1024)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
@@ -560,9 +561,28 @@ def _mincut_tiled_kernel(caph_hbm, capv_hbm, exc_hbm, node_hbm,
                            (jnp.int32(0), jnp.bool_(True)))
 
     # ---- one push-relabel phase over all tiles (sequential, exact) ----
+    # Tiles whose interior holds no positive excess are SKIPPED after a
+    # 2-plane peek (pushes only originate at e>0 interior nodes; a
+    # receiving-only tile is updated by its neighbor's halo store) — on a
+    # converging solve most tiles are idle most phases, so this turns the
+    # full 13-DMA tile-phase into a cheap excess check.
     def push_tile(t, _):
         r0 = t * Tr
-        load_state(r0)
+        load(e_hbm, 4, r0)
+        load(node_hbm, 6, r0)
+        node0 = tiles[6] > 0
+        e_peek = jnp.where(node0, tiles[4], 0.0)
+        tile_active = jnp.any(interior & (e_peek > 0))
+
+        @pl.when(tile_active)
+        def _():
+            _push_tile_body(r0)
+        return 0
+
+    def _push_tile_body(r0):
+        for s, hbm in ((0, c0_hbm), (1, c1_hbm), (2, c2_hbm),
+                       (3, c3_hbm), (5, d_hbm)):
+            load(hbm, s, r0)
         node = tiles[6] > 0
         nodef = node.astype(jnp.float32)
         caps = [tiles[k] * nodef for k in range(4)]
@@ -591,7 +611,6 @@ def _mincut_tiled_kernel(caph_hbm, capv_hbm, exc_hbm, node_hbm,
         # store the FULL local view: halo rows carry the cross-tile flow
         # (received excess + reverse capacity) to the neighbor tiles
         store_state(r0, (0, 1, 2, 3, 4, 5))
-        return 0
 
     # ---- outer loop: pushes then BFS; BFS doubles as termination ----
     def check_tile(t, _):
@@ -701,14 +720,60 @@ def _tiled_jit(cap_h, cap_v, excess0, node, max_outer, inner_iters,
                                     tile_rows, interpret)
 
 
+def _node_bbox(node_np, H, W, row_pad=8, col_pad=128):
+    """Aligned bounding box of the node set (r0, r1, c0, c1), or None if
+    empty. The reference's BK graph also only contains union-mask nodes
+    (graph_object ctor); everything outside is structurally irrelevant to
+    the cut, so solving the crop is exact."""
+    r = node_np.any(axis=1)
+    c = node_np.any(axis=0)
+    if not r.any():
+        return None
+    r0 = int(np.argmax(r))
+    r1 = H - int(np.argmax(r[::-1]))
+    c0 = int(np.argmax(c))
+    c1 = W - int(np.argmax(c[::-1]))
+    r0 = max(0, r0 - 1) // row_pad * row_pad
+    c0 = max(0, c0 - 1) // col_pad * col_pad
+    r1 = min(H, (r1 + row_pad) // row_pad * row_pad)
+    c1 = min(W, (c1 + col_pad) // col_pad * col_pad)
+    return r0, r1, c0, c1
+
+
 def grid_mincut_auto(cap_h, cap_v, excess0, node, **kw):
     """Backend dispatch: the single-launch in-VMEM Pallas kernel on TPU
     when the solver state fits, the row-tiled HBM-resident kernel for
-    larger grids, the XLA while_loop formulation elsewhere."""
+    larger grids, the XLA while_loop formulation elsewhere.
+
+    Concrete (non-traced) big grids are first cropped to the node
+    bounding box — real seam graphs are overlap BANDS inside the padded
+    ROI, so the crop usually lands back in the in-VMEM kernel's range."""
     H, W = cap_h.shape
     if jax.default_backend() == "tpu":
         if H * W <= _PALLAS_MAX_CELLS:
             return grid_mincut_pallas(cap_h, cap_v, excess0, node, **kw)
+        if not isinstance(node, jax.core.Tracer):
+            bbox = _node_bbox(np.asarray(node) > 0, H, W)
+            if bbox is not None:
+                r0, r1, c0, c1 = bbox
+                if (r1 - r0) * (c1 - c0) <= 0.9 * H * W:
+                    args = (cap_h[r0:r1, c0:c1], cap_v[r0:r1, c0:c1],
+                            excess0[r0:r1, c0:c1], node[r0:r1, c0:c1])
+                    # conservative in-VMEM predicate: near-limit or
+                    # very TALL shapes (measured: 2000x512 fails where
+                    # 896x1280 fits) can fail the Mosaic stack allocator
+                    # after MINUTES of compile, and failed compiles are
+                    # never cached
+                    if ((r1 - r0) * (c1 - c0) <= _PALLAS_MAX_CELLS
+                            and (r1 - r0) <= 1200):
+                        sub = grid_mincut_pallas(*args, **kw)
+                    else:
+                        sub = _tiled_jit(
+                            *args, kw.get("max_outer", 400),
+                            kw.get("inner_iters", 30),
+                            kw.get("sweep_iters", 0), 512, False)
+                    full = jnp.zeros((H, W), bool)
+                    return jax.lax.dynamic_update_slice(full, sub, (r0, c0))
         return _tiled_jit(cap_h, cap_v, excess0, node,
                           kw.get("max_outer", 400),
                           kw.get("inner_iters", 30),
