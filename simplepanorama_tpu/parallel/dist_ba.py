@@ -96,16 +96,14 @@ def make_lm_step_shard_map(mesh: Mesh, n_cams: int, axis: str = "data",
     def step(cams: ba.CamState, data: ba.BAData, cam_active, lam):
         N = n_cams
         active_m = data.m_valid & cam_active[data.mi] & cam_active[data.mj]
-        S, rhs, Vinv, Wi, Wj, eB = ba._assemble(
+        S, rhs, Vinv, W, eB = ba._assemble(
             cams, data, active_m, lam, cam_active, fast, N, psum_axis=axis)
         da = ba._solve_preconditioned(S, rhs)       # replicated tiny solve
         if fast:
             db = None
         else:
-            da_n = da.reshape(N, 6)
-            wtd = (jnp.einsum("mab,ma->mb", Wi, da_n[data.mi])
-                   + jnp.einsum("mab,ma->mb", Wj, da_n[data.mj]))
-            db = jnp.einsum("mab,mb->ma", Vinv, eB - wtd)   # local
+            wtd = (W * da[None, :, None]).sum(1)
+            db = (Vinv * (eB - wtd)[:, None, :]).sum(2)     # local
         trial = ba._apply_delta(cams, da, db, data, cam_active,
                                 active_m, fast)
         err = ba.total_error(cams, data, active_m, fast, psum_axis=axis)
