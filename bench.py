@@ -23,8 +23,17 @@ rounds are comparable). A sidecar `bench_breakdown.json` records:
     schedule, not hardware — BASELINE.md's >=80% bar applies only to
     real multi-device hardware).
 
-The reference publishes no numbers (BASELINE.md); vs_baseline is against
-the first recorded value in bench_baseline.json.
+Baselines: the reference publishes no numbers (BASELINE.md), so
+tools/ref_headless compiles its FULL pipeline (no GTK) and measures it on
+this machine's CPU at its own defaults; the result lives in
+ref_baseline.json and every sequence entry carries speedup_vs_ref_cpu
+(the headline claim, asserted as beats_reference_all). vs_baseline in
+the driver line stays self-relative (first recorded round value) so
+rounds remain comparable; vs_ref_cpu is the reference-anchored ratio.
+
+Stage breakdowns come from a SEPARATE run with SPT_SYNC_STAGES=1 (device
+stream drained at stage boundaries) so async device work is attributed
+to the stage that dispatched it; the headline seconds stay unsynced.
 """
 
 import argparse
@@ -74,27 +83,42 @@ def run_once(paths, cfg, full_res=False):
     return dt, p.connected, t_full
 
 
+def _ref_baseline():
+    p = pathlib.Path(__file__).parent / "ref_baseline.json"
+    if p.exists():
+        return json.loads(p.read_text())["sequences"]
+    return {}
+
+
 def bench_sequences(repeats=3):
     """End-to-end images/s per sequence (best of ``repeats`` after a
-    warm-up that populates the jit caches)."""
+    warm-up that populates the jit caches), gated per-sequence against
+    the measured reference CPU baseline (ref_baseline.json)."""
     from simplepanorama_tpu.utils.timing import global_timer
     out = {}
     timer = global_timer()
+    ref = _ref_baseline()
     for name, (pattern, over) in SEQUENCES.items():
         paths = sorted(glob.glob(pattern))
         cfg = _make_cfg(over)
         full_res = name in ("map", "FKH360")
         run_once(paths, cfg, full_res=full_res)        # warm-up/compile
-        best, stages, best_full = float("inf"), {}, None
+        best, best_full = float("inf"), None
         for _ in range(repeats):
-            timer.durations.clear()
-            timer.counts.clear()
             dt, connected, t_full = run_once(paths, cfg, full_res=full_res)
-            if dt < best:
-                best = dt
-                stages = dict(timer.durations)
+            best = min(best, dt)
             if t_full is not None:
                 best_full = min(best_full or 1e9, t_full)
+        # one synced run for the stage breakdown: the device stream is
+        # drained at every stage boundary so async device time lands on
+        # the stage that dispatched it (honest attribution; the sync
+        # points make this run slightly slower than `seconds`)
+        os.environ["SPT_SYNC_STAGES"] = "1"
+        timer.durations.clear()
+        timer.counts.clear()
+        dt_sync, connected, _ = run_once(paths, cfg, full_res=False)
+        os.environ.pop("SPT_SYNC_STAGES", None)
+        stages = dict(timer.durations)
         n = connected[0]
         entry = {
             "images": n, "seconds": round(best, 3),
@@ -103,9 +127,19 @@ def bench_sequences(repeats=3):
             "stages_s": {k: round(v, 3)
                          for k, v in sorted(stages.items(),
                                             key=lambda kv: -kv[1])},
+            "stages_wall_s": round(dt_sync, 3),
         }
         if best_full is not None:
             entry["full_res_render_s"] = round(best_full, 3)
+        if name in ref:
+            entry["ref_cpu_seconds"] = ref[name]["seconds"]
+            entry["ref_cpu_images_per_s"] = ref[name]["images_per_s"]
+            entry["speedup_vs_ref_cpu"] = round(
+                ref[name]["seconds"] / best, 2)
+            if ref[name].get("full_res_render_s") and best_full:
+                entry["ref_cpu_full_res_s"] = ref[name]["full_res_render_s"]
+                entry["speedup_full_res_vs_ref_cpu"] = round(
+                    ref[name]["full_res_render_s"] / best_full, 2)
         out[name] = entry
     return out
 
@@ -415,8 +449,13 @@ def main():
         _mesh_child(args.mesh)
         return
 
+    seqs = bench_sequences()
+    beats = [s.get("speedup_vs_ref_cpu") for s in seqs.values()
+             if "speedup_vs_ref_cpu" in s]
     breakdown = {
-        "sequences": bench_sequences(),
+        "sequences": seqs,
+        "beats_reference_all": bool(beats) and all(b > 1.0 for b in beats),
+        "min_speedup_vs_ref_cpu": min(beats) if beats else None,
         "ba_lm": bench_lm_iters(),
         "graph_cut_seam": bench_mincut(),
         "kernel_roofline": bench_mfu(),
@@ -438,12 +477,17 @@ def main():
     else:
         base = value
         baseline_file.write_text(json.dumps({"value": value}))
-    print(json.dumps({
+    line = {
         "metric": "map_stitch_images_per_s",
         "value": round(value, 4),
         "unit": "images/s",
         "vs_baseline": round(value / base, 3),
-    }))
+    }
+    ref = _ref_baseline()
+    if "map" in ref:
+        line["vs_ref_cpu"] = round(value / ref["map"]["images_per_s"], 3)
+        line["beats_reference_all"] = breakdown["beats_reference_all"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

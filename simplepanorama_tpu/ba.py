@@ -193,7 +193,7 @@ def total_error(cams: CamState, data: BAData, active_m, fast: bool,
 
 
 def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
-              fast: bool, n_cams: int, psum_axis=None):
+              fast: bool, n_cams: int, psum_axis=None, vaug_idx=None):
     """Build and augment the (Schur-reduced) camera system.
 
     Returns (S (6N,6N), rhs (6N,), Vinv (M,2,2), W (M,6N,2), eB) — the
@@ -289,8 +289,15 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
         eB = -(B * r[:, :, None]).sum(1)                   # (M,2)
         W = (Jd[:, :, :, None] * B[:, 2:, None, :]).sum(1)  # (M,6N,2)
         # V augment: reference quirk — scale by the LAST active camera's
-        # focal (the loop variable's final value)
-        last = jnp.max(jnp.where(cam_active, jnp.arange(N), 0))
+        # focal (the augment loop variable's final value; prep_opt sorts
+        # its subproblem indices, so "last" = highest original local
+        # index among active cameras). ``vaug_idx`` overrides when the
+        # caller has renumbered cameras (stitch.py addition-order
+        # bucketing) and precomputed that camera's new index.
+        if vaug_idx is None:
+            last = jnp.max(jnp.where(cam_active, jnp.arange(N), 0))
+        else:
+            last = vaug_idx
         aug_l = 1.0 + lam * cams.focal[last] * _AUG_FOCAL
         Va = V.at[:, 0, 0].multiply(aug_l).at[:, 1, 1].multiply(aug_l)
         det = Va[:, 0, 0] * Va[:, 1, 1] - Va[:, 0, 1] * Va[:, 1, 0]
@@ -355,7 +362,7 @@ class LMResult(NamedTuple):
 
 def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
                 lambda0, fast: bool = False, max_iter: int = 50,
-                psum_axis=None) -> LMResult:
+                psum_axis=None, vaug_idx=None) -> LMResult:
     """lm_run body without the jit wrapper — composable inside larger
     compiled programs (the fused incremental driver, stitch._incremental_lm,
     inlines it in a fori_loop so the whole node-addition schedule is one
@@ -376,7 +383,7 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
         it, strikes, cur, err_cur, lam, n_acc = st
         S, rhs, Vinv, W, eB = _assemble(
             cur, data, active_m, lam, cam_active, fast, N,
-            psum_axis=psum_axis)
+            psum_axis=psum_axis, vaug_idx=vaug_idx)
         da = _solve_preconditioned(S, rhs)
         if fast:
             db = None

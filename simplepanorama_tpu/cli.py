@@ -76,10 +76,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="panotpu",
         description="TPU-native panorama stitcher (SimplePanorama rebuild)")
-    p.add_argument("images", nargs="+",
+    p.add_argument("images", nargs="*",
                    help="input image paths (a directory expands to the "
                         "image files inside it, like the reference's "
-                        "Open Folder)")
+                        "Open Folder); optional with --from-state")
     p.add_argument("-o", "--output", default="panorama.jpg")
     p.add_argument("--full-res", action="store_true",
                    help="render at full input resolution (default: preview)")
@@ -88,6 +88,14 @@ def main(argv=None) -> int:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--timing", action="store_true",
                    help="print the per-stage timing report after stitching")
+    p.add_argument("--save-state",
+                   help="checkpoint the post-BA stitch state here (resume "
+                        "later with --from-state, skipping features/"
+                        "matching/BA)")
+    p.add_argument("--from-state",
+                   help="resume compositing from a --save-state checkpoint "
+                        "(blend/projection/seam flags apply fresh; "
+                        "features/matching/BA are skipped)")
     _add_config_flags(p)
     args = p.parse_args(argv)
 
@@ -108,7 +116,7 @@ def main(argv=None) -> int:
         else:
             inputs.append(a)
     args.images = inputs
-    if len(args.images) < 2:
+    if len(args.images) < 2 and not args.from_state:
         print("error: need at least two input images", file=sys.stderr)
         return 1
 
@@ -120,6 +128,19 @@ def main(argv=None) -> int:
             print(f"\r[{frac:5.1%}] {text:<28}", end="", flush=True)
 
     t0 = time.time()
+    if args.from_state:
+        # resume compositing from a checkpoint: blend/proj/seam flags
+        # apply fresh; features/matching/BA never re-run
+        pano = Panorama.from_state(args.from_state,
+                                   args.images or None, cfg,
+                                   progress=report)
+        if not args.quiet:
+            print(f"resumed {pano.connected[0]} of {pano.connected[1]} "
+                  f"images from {args.from_state} "
+                  f"in {time.time() - t0:.1f}s")
+        if args.save_state:
+            pano.save_state(args.save_state)
+        return _render_and_write(args, pano)
     pano = Panorama(args.images, progress=report)
 
     # interactive cancel: first Ctrl-C flips the pipeline's cancel token
@@ -148,6 +169,15 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"\nconnected {pano.connected[0]} of {pano.connected[1]} "
               f"images in {time.time() - t0:.1f}s")
+    if args.save_state:
+        pano.save_state(args.save_state)
+        if not args.quiet:
+            print(f"saved stitch state to {args.save_state}")
+    return _render_and_write(args, pano)
+
+
+def _render_and_write(args, pano) -> int:
+    from simplepanorama_tpu.io import save_image
     if args.full_res:
         out = pano.get_panorama(tuple(args.crop) if args.crop else None)
     else:

@@ -93,6 +93,56 @@ class Panorama:
         self._full_pano = None
         return self
 
+    def save_state(self, path) -> None:
+        """Checkpoint the post-BA stitch state (rot/K/adjacency/order) so
+        compositing can later resume — with any blend/projection/seam
+        settings — without re-running features, matching, or BA
+        (SURVEY §5 checkpoint/resume; the BA result is the expensive,
+        settings-independent part of the pipeline)."""
+        from simplepanorama_tpu.utils.checkpoint import save_stitch_state
+        if self.result is None:
+            raise RuntimeError("stitch() has not been run")
+        save_stitch_state(path, self.result, paths=self.images.loaded)
+
+    @classmethod
+    def from_state(cls, path, paths: Optional[Sequence[str]] = None,
+                   config: Optional[Config] = None,
+                   progress: Optional[Callable[[float, str], None]] = None,
+                   ) -> "Panorama":
+        """Resume from a checkpoint written by save_state: reload the
+        images at init_size, rebuild the compositing state under
+        ``config``, and return a Panorama ready for get_preview() /
+        get_panorama() — features/matching/BA are skipped entirely.
+        ``paths`` overrides the image list recorded in the checkpoint
+        (same order as at save time; res.nodes indexes into it)."""
+        from simplepanorama_tpu.utils.checkpoint import load_stitch_state
+        res, saved_paths = load_stitch_state(path, with_paths=True)
+        if paths is None:
+            paths = saved_paths
+        if not paths:
+            raise RuntimeError("checkpoint has no image list; pass paths=")
+        p = cls(paths, progress)
+        p.result = res
+        p.set_config(config or Config())
+        return p
+
+    def set_config(self, config: Config) -> "Panorama":
+        """Re-run compositing only (stitch_parameters::set_config,
+        _panorama.cpp:75-158) against the existing BA result — changing
+        blend/projection/seam settings never re-runs features/match/BA."""
+        from simplepanorama_tpu import stitcher
+        if self.result is None:
+            raise RuntimeError("no stitch state (run stitch() or from_state)")
+        self.config = config
+        if not self.images.img_data:
+            self.images.load_resized(config.init_size, config.threads)
+        comp_imgs = [self.images.img_data[g] for g in self.result.nodes]
+        self.stitch_params = stitcher.set_config(self.result, comp_imgs,
+                                                 config)
+        self.connected = (len(self.result.nodes), len(self.images.img_data))
+        self._full_pano = None
+        return self
+
     def get_preview(self) -> np.ndarray:
         from simplepanorama_tpu import stitcher
         if self.stitch_params is None:

@@ -10,11 +10,14 @@ R_new = R_init . R_conn); after every addition a FULL LM bundle adjustment
 runs over all cameras added so far (:268-295); finally the K principal
 points are shifted by the integer image half-sizes (:303-307).
 
-TPU-first shape discipline: cameras and matches are padded once to the
-component's final capacity, so every node-addition step reuses ONE compiled
-LM program (ba.lm_run) with a different activity mask — the reference
-instead rebuilds an Eigen problem of growing size each time (prep_opt,
-:85-131).
+TPU-first shape discipline: cameras are renumbered into ADDITION ORDER and
+matches sorted by activation step, so the live subproblem at any point of
+the schedule is a PREFIX of the padded tables. The schedule is split into
+~6 equal-work chunks, each compiled at a cropped capacity bucket (matches
+rounded to 2048, cameras to 8) — early additions pay for the subproblem
+they actually solve, the reference's growing prep_opt subproblem
+(:85-131) re-expressed as a handful of static XLA shapes instead of a
+fresh Eigen problem per node.
 
 Deviation (reference bug not reproduced): the reference overwrites its
 global homography table with the sub-problem-indexed ret_hmat result
@@ -61,12 +64,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def build_ba_data(comp: Component, adjres: Adjacency,
-                  cap_round: int = 512) -> Tuple[ba.BAData, np.ndarray]:
+                  cap_round: int = 512, order: Optional[List[Tuple[int, int]]] = None,
+                  relabel: Optional[np.ndarray] = None,
+                  ) -> Tuple[ba.BAData, Optional[np.ndarray]]:
     """Flatten the component's directed cleaned matches into padded device
-    tables. Returns (data, pair_count_matrix)."""
+    tables.
+
+    With ``order`` (the greedy addition schedule), matches are sorted by
+    ACTIVATION STEP — the addition index at which both endpoint cameras
+    are active — so the matches live at any point of the incremental
+    schedule always form a contiguous prefix. Returns (data, prefix)
+    where prefix[l] = number of matches active after addition l; prefix
+    is None when no order is given.
+    """
     nodes = comp.nodes
     g2l = {g: l for l, g in enumerate(nodes)}
-    mi, mj, q, t = [], [], [], []
+    mi, mj, q, t, step = [], [], [], [], []
+    add_idx = None
+    if order is not None:
+        add_idx = {node: l for l, (node, _) in enumerate(order)}
     for (gi, gj), (xy_i, xy_j) in adjres.matches.items():
         if gi in g2l and gj in g2l:
             li, lj = g2l[gi], g2l[gj]
@@ -74,7 +90,27 @@ def build_ba_data(comp: Component, adjres: Adjacency,
             mj.extend([lj] * len(xy_i))
             q.append(xy_i)
             t.append(xy_j)
+            if add_idx is not None:
+                s = max(add_idx.get(li, len(order)),
+                        add_idx.get(lj, len(order)))
+                step.extend([s] * len(xy_i))
     M = len(mi)
+    mi_np = np.asarray(mi, np.int32)
+    mj_np = np.asarray(mj, np.int32)
+    q_np = np.concatenate(q).astype(np.float32) if M else np.zeros((0, 2), np.float32)
+    t_np = np.concatenate(t).astype(np.float32) if M else np.zeros((0, 2), np.float32)
+    prefix = None
+    if add_idx is not None and M:
+        step_np = np.asarray(step, np.int64)
+        srt = np.argsort(step_np, kind="stable")
+        mi_np, mj_np = mi_np[srt], mj_np[srt]
+        q_np, t_np = q_np[srt], t_np[srt]
+        step_np = step_np[srt]
+        prefix = np.searchsorted(step_np, np.arange(len(order)), side="right")
+    if relabel is not None and M:
+        # camera renumbering (addition order) applied to the endpoint ids
+        mi_np = relabel[mi_np].astype(np.int32)
+        mj_np = relabel[mj_np].astype(np.int32)
     cap = max(cap_round, _round_up(M, cap_round))
     mi_a = np.zeros(cap, np.int32)
     mj_a = np.zeros(cap, np.int32)
@@ -82,15 +118,15 @@ def build_ba_data(comp: Component, adjres: Adjacency,
     t_a = np.zeros((cap, 2), np.float32)
     valid = np.zeros(cap, bool)
     if M:
-        mi_a[:M] = mi
-        mj_a[:M] = mj
-        q_a[:M] = np.concatenate(q)
-        t_a[:M] = np.concatenate(t)
+        mi_a[:M] = mi_np
+        mj_a[:M] = mj_np
+        q_a[:M] = q_np
+        t_a[:M] = t_np
         valid[:M] = True
     data = ba.BAData(mi=jnp.asarray(mi_a), mj=jnp.asarray(mj_a),
                      q=jnp.asarray(q_a), t=jnp.asarray(t_a),
                      m_valid=jnp.asarray(valid))
-    return data, None
+    return data, prefix
 
 
 def _orthogonalize_np(M: np.ndarray) -> np.ndarray:
@@ -103,7 +139,7 @@ def _orthogonalize_np(M: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("fast",))
 def _incremental_lm(cams0: ba.CamState, active0, data: ba.BAData,
                     order_nodes, order_conns, H_pair, lambda0, lo, hi,
-                    fast: bool):
+                    fast: bool, vaug=None):
     """Node-additions [lo, hi) of the incremental schedule as one XLA
     program (dynamic fori_loop bounds, so ONE compiled program serves
     every chunk of the schedule).
@@ -140,10 +176,66 @@ def _incremental_lm(cams0: ba.CamState, active0, data: ba.BAData,
             ppal=cams.ppal.at[node].set(0.0),
             rotvec=cams.rotvec.at[node].set(rv_node))
         active = active.at[node].set(True)
-        res = ba.lm_run_impl(cams, data, active, lambda0, fast=fast)
+        res = ba.lm_run_impl(cams, data, active, lambda0, fast=fast,
+                             vaug_idx=None if vaug is None else vaug[l])
         return (res.cams, active)
 
     return jax.lax.fori_loop(lo, hi, step, (cams0, active0))
+
+
+@functools.partial(jax.jit, static_argnames=("fast", "n_cap", "m_cap"))
+def _incremental_lm_bucketed(cams0: ba.CamState, active0, data: ba.BAData,
+                             order_conns, H_pair, vaug, lambda0, lo, hi,
+                             fast: bool, n_cap: int, m_cap: int):
+    """Node-additions [lo, hi) with compute cropped to the chunk's
+    capacity bucket.
+
+    The driver renumbers cameras into ADDITION ORDER (so the active set
+    after addition l is exactly the prefix [0, l]) and sorts matches by
+    activation step (so live matches form a prefix too, build_ba_data).
+    Cropping the camera and match tables to (n_cap, m_cap) makes early
+    additions pay for the subproblem they actually solve — the
+    reference's growing prep_opt subproblem (/root/reference/src/math/
+    _stitch.cpp:85-131) re-expressed as a handful of static bucket
+    shapes — instead of every addition paying the final (N, M) capacity.
+    The carry in and out stays full-size so chunks of different buckets
+    chain on device without host round trips.
+    """
+    sl = lambda x: x[:m_cap]
+    data_c = ba.BAData(mi=sl(data.mi), mj=sl(data.mj), q=sl(data.q),
+                       t=sl(data.t), m_valid=sl(data.m_valid))
+    cams_c = ba.CamState(focal=cams0.focal[:n_cap], ppal=cams0.ppal[:n_cap],
+                         rotvec=cams0.rotvec[:n_cap], b=sl(cams0.b))
+    active_c = active0[:n_cap]
+
+    def step(l, st):
+        cams, active = st
+        node = l                      # addition-order numbering: node == l
+        conn = order_conns[l]
+        f = cams.focal[conn]
+        Kc = ba._K_of(f, cams.ppal[conn])
+        Kn_inv = jnp.diag(jnp.stack([1.0 / f, 1.0 / f, jnp.ones_like(f)]))
+        M = Kn_inv @ H_pair[l] @ Kc
+        R_init = rotn.orthogonalize(M)
+        R_conn = rotn.rodrigues(cams.rotvec[conn])
+        rv_node = rotn.rotvec_from_matrix(R_init @ R_conn)
+        cams = cams._replace(
+            focal=cams.focal.at[node].set(f),
+            ppal=cams.ppal.at[node].set(0.0),
+            rotvec=cams.rotvec.at[node].set(rv_node))
+        active = active.at[node].set(True)
+        res = ba.lm_run_impl(cams, data_c, active, lambda0, fast=fast,
+                             vaug_idx=vaug[l])
+        return (res.cams, active)
+
+    cams_c, active_c = jax.lax.fori_loop(lo, hi, step, (cams_c, active_c))
+    cams = ba.CamState(
+        focal=cams0.focal.at[:n_cap].set(cams_c.focal),
+        ppal=cams0.ppal.at[:n_cap].set(cams_c.ppal),
+        rotvec=cams0.rotvec.at[:n_cap].set(cams_c.rotvec),
+        b=cams0.b.at[:m_cap].set(cams_c.b))
+    active = active0.at[:n_cap].set(active_c)
+    return cams, active
 
 
 def bundle_adjust_stitching(comp: Component,
@@ -172,8 +264,6 @@ def bundle_adjust_stitching(comp: Component,
     rot = np.tile(np.eye(3), (n, 1, 1))
     K = np.tile(np.diag([focal, focal, 1.0]), (n, 1, 1))
 
-    data, _ = build_ba_data(comp, adjres)
-
     def local_H(li: int, lj: int) -> np.ndarray:
         """RANSAC H mapping image-lj points into image-li (global table)."""
         return adjres.hom_mat[nodes[li], nodes[lj]].astype(np.float64)
@@ -193,19 +283,34 @@ def bundle_adjust_stitching(comp: Component,
         if cancelled is not None and cancelled():
             raise RuntimeError("Process canceled")
         L = len(order)
-        order_nodes = np.array([o[0] for o in order], np.int32)
-        order_conns = np.array([max(o[1], 0) for o in order], np.int32)
+        # renumber cameras into ADDITION ORDER (perm[new] = old local
+        # index): the active set after addition l is then the prefix
+        # [0, l] and, with matches sorted by activation step
+        # (build_ba_data), the live match table is a prefix too — which
+        # is what lets each chunk of the schedule run at a cropped
+        # (n_cap, m_cap) capacity bucket instead of the final capacity.
+        in_order = [o[0] for o in order]
+        seen = set(in_order)
+        perm = np.array(in_order + [i for i in range(n) if i not in seen],
+                        np.int64)
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+
+        data, prefix = build_ba_data(comp, adjres, order=order, relabel=inv)
+        Mcap = int(data.mi.shape[0])
+        if prefix is None:   # component with no recorded matches
+            prefix = np.zeros(L, np.int64)
+
+        order_nodes = np.arange(L, dtype=np.int32)  # new numbering: node==l
+        order_conns = np.array([inv[max(o[1], 0)] for o in order], np.int32)
         H_pair = np.tile(np.eye(3, dtype=np.float32), (L, 1, 1))
         for l in range(1, L):
             H_pair[l] = local_H(order[l][1], order[l][0]).astype(np.float32)
-        # chunked dispatch: the reference polls its cancel atomic per
-        # node-addition (_stitch.cpp:240); small chunks restore that
-        # granularity and honest progress while the camera carry stays
-        # on device (no data motion between chunks, one sync each)
-        # ~4 progress ticks across the schedule: enough cancellation
-        # granularity (the reference polls per node) without paying a
-        # host sync per node on a network-attached device
-        chunk = max(1, (L - 1 + 3) // 4)
+        # reference V-augment quirk: the scaling focal belongs to the
+        # active camera with the highest ORIGINAL local index (prep_opt
+        # sorts its subproblem indices ascending, _stitch.cpp:88); under
+        # renumbering that camera's NEW index is precomputed per addition
+        vaug = inv[np.maximum.accumulate(np.array(in_order))].astype(np.int32)
         cams0 = ba.CamState(
             focal=jnp.full((n,), focal, jnp.float32),
             ppal=jnp.zeros((n, 2), jnp.float32),
@@ -219,6 +324,7 @@ def bundle_adjust_stitching(comp: Component,
         # divides any power-of-two mesh.
         from simplepanorama_tpu.parallel.mesh import pipeline_mesh
         nproc = jax.process_count()
+        sharded = False
         if nproc > 1:
             # multi-host BA: match tables sharded over the GLOBAL mesh
             # (each host feeds its contiguous match shard to its local
@@ -247,9 +353,11 @@ def bundle_adjust_stitching(comp: Component,
                 cams0 = ba.CamState(
                     focal=rep_g(cams0.focal), ppal=rep_g(cams0.ppal),
                     rotvec=rep_g(cams0.rotvec), b=shard_g(cams0.b))
+                sharded = True
         else:
             mesh = pipeline_mesh()
-            if mesh is not None and data.mi.shape[0] % mesh.size == 0:
+            if mesh is not None and mesh.size > 1 \
+                    and data.mi.shape[0] % mesh.size == 0:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 msh = NamedSharding(mesh, P("data"))
                 rep = NamedSharding(mesh, P())
@@ -259,11 +367,34 @@ def bundle_adjust_stitching(comp: Component,
                     ppal=jax.device_put(cams0.ppal, rep),
                     rotvec=jax.device_put(cams0.rotvec, rep),
                     b=jax.device_put(cams0.b, msh))
-        active = jnp.zeros(n, bool).at[order[0][0]].set(True)
-        on = jnp.asarray(order_nodes)
+                sharded = True
+        active = jnp.zeros(n, bool).at[0].set(True)  # order[0] is camera 0
         oc = jnp.asarray(order_conns)
         Hp = jnp.asarray(H_pair)
+        va = jnp.asarray(vaug)
         lam0 = jnp.asarray(float(cfg.lambda_), jnp.float32)
+
+        # chunk plan: split the addition schedule into ~6 pieces of equal
+        # WORK (per-addition cost ~ live matches x (6 x active cams)^2),
+        # each compiled at its own capacity bucket — matches rounded to
+        # 2048 (keeps mesh divisibility), cameras to 8. Equal-work chunks
+        # also give even progress ticks and cancellation granularity (the
+        # reference polls its cancel atomic per node, _stitch.cpp:240).
+        n_chunks = min(6, L - 1)
+        w = prefix[1:L].astype(np.float64) * (6.0 * (np.arange(1, L) + 1)) ** 2
+        cw = np.cumsum(w)
+        bounds = [1]
+        for c in range(1, n_chunks):
+            t = np.searchsorted(cw, cw[-1] * c / n_chunks) + 1
+            if t > bounds[-1] and t < L:
+                bounds.append(int(t))
+        bounds.append(L)
+        chunks = []
+        for lo_, hi_ in zip(bounds[:-1], bounds[1:]):
+            n_cap = min(n, _round_up(hi_, 8))
+            m_cap = min(Mcap, _round_up(max(int(prefix[hi_ - 1]), 1), 2048))
+            chunks.append((lo_, hi_, n_cap, m_cap))
+
         # double-buffered dispatch: keep up to two chunks in flight so the
         # per-chunk host sync (one RTT on a network-attached device)
         # overlaps the device computing the NEXT chunk — cancellation can
@@ -272,16 +403,26 @@ def bundle_adjust_stitching(comp: Component,
         # device future the next chunk consumes without host round trips)
         cams = cams0
         inflight = []   # [(cams_future, span)] enqueued, not yet synced
-        lo = 1
-        while lo < L or inflight:
-            while lo < L and len(inflight) < 2:
-                hi = min(L, lo + chunk)
-                cams, active = _incremental_lm(
-                    cams, active, data, on, oc, Hp, lam0,
-                    jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
-                    fast=bool(cfg.fast))
-                inflight.append((cams, hi - lo))
-                lo = hi
+        ci = 0
+        while ci < len(chunks) or inflight:
+            while ci < len(chunks) and len(inflight) < 2:
+                lo_, hi_, n_cap, m_cap = chunks[ci]
+                if sharded:
+                    # sharded tables: no cropping (slicing a P("data")
+                    # array would reshard); full-capacity fused program
+                    cams, active = _incremental_lm(
+                        cams, active, data, jnp.asarray(order_nodes), oc,
+                        Hp, lam0, jnp.asarray(lo_, jnp.int32),
+                        jnp.asarray(hi_, jnp.int32), fast=bool(cfg.fast),
+                        vaug=va)
+                else:
+                    cams, active = _incremental_lm_bucketed(
+                        cams, active, data, oc, Hp, va, lam0,
+                        jnp.asarray(lo_, jnp.int32),
+                        jnp.asarray(hi_, jnp.int32),
+                        fast=bool(cfg.fast), n_cap=n_cap, m_cap=m_cap)
+                inflight.append((cams, hi_ - lo_))
+                ci += 1
             done_cams, span = inflight.pop(0)
             jax.block_until_ready(done_cams.focal)
             if progress is not None:
@@ -292,13 +433,12 @@ def bundle_adjust_stitching(comp: Component,
         focal_new = np.asarray(cams.focal, np.float64)
         ppal_new = np.asarray(cams.ppal, np.float64)
         rv_new = np.asarray(cams.rotvec, np.float64)
-        in_order = {o[0] for o in order}
-        for i in range(n):
-            if i in in_order:
-                K[i] = np.array([[focal_new[i], 0, ppal_new[i, 0]],
-                                 [0, focal_new[i], ppal_new[i, 1]],
-                                 [0, 0, 1.0]])
-                rot[i] = _rodrigues_np(rv_new[i])
+        for l in range(L):   # map addition-order results back to local ids
+            i = int(perm[l])
+            K[i] = np.array([[focal_new[l], 0, ppal_new[l, 0]],
+                             [0, focal_new[l], ppal_new[l, 1]],
+                             [0, 0, 1.0]])
+            rot[i] = _rodrigues_np(rv_new[l])
         Ks = K.copy()
         for l in range(n):
             h, w = sizes[nodes[l]]
@@ -308,6 +448,8 @@ def bundle_adjust_stitching(comp: Component,
                             connectivity=comp.connectivity, order=order,
                             nodes=nodes, center=center,
                             sizes=[sizes[g] for g in nodes])
+
+    data, _ = build_ba_data(comp, adjres)
 
     first, second = order[0][0], order[1][0]
     # R for the second node: nearest rotation to K^-1 H K (both K equal)

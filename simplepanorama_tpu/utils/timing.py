@@ -49,10 +49,32 @@ def global_timer() -> Timer:
     return _GLOBAL
 
 
+def _sync_device() -> None:
+    """Drain the default device's execution stream: block on a trivial
+    program enqueued AFTER the stage's work (per-device program execution
+    is FIFO, so this waits for everything already dispatched)."""
+    import jax
+
+    global _SYNC_FN
+    if _SYNC_FN is None:
+        import jax.numpy as jnp
+        _SYNC_FN = jax.jit(lambda: jnp.zeros(()))
+    jax.block_until_ready(_SYNC_FN())
+
+
+_SYNC_FN = None
+
+
 @contextlib.contextmanager
 def stage(name: str, timer: Optional[Timer] = None) -> Iterator[None]:
     """Time a pipeline stage; emits a jax.profiler trace span when
-    SPT_TRACE_DIR is set (start_trace on first use)."""
+    SPT_TRACE_DIR is set (start_trace on first use).
+
+    With SPT_SYNC_STAGES set, the device stream is drained at each stage
+    boundary so per-stage wall times attribute ASYNC device work to the
+    stage that dispatched it instead of letting a later stage absorb it
+    (bench.py uses this for the honest stage breakdown; it adds sync
+    points, so throughput runs leave it off)."""
     t = timer or _GLOBAL
     trace_dir = os.environ.get("SPT_TRACE_DIR")
     ctx = contextlib.nullcontext()
@@ -64,4 +86,9 @@ def stage(name: str, timer: Optional[Timer] = None) -> Iterator[None]:
         with ctx:
             yield
     finally:
+        if os.environ.get("SPT_SYNC_STAGES"):
+            try:
+                _sync_device()
+            except Exception:
+                pass
         t.stop(name)
