@@ -292,12 +292,16 @@ def build_adjacency(feats: Sequence[Features],
             overlap_inl_keyp=cfg.overlap_inl_keyp,
             conf=cfg.conf)
         nb = len(blk)
-        acc_l.append(np.asarray(accept)[:nb])
-        w_l.append(np.asarray(weight)[:nb])
+        # ONE batched transfer for the six outputs (six eager np.asarray
+        # fetches cost six round trips on a network-attached device)
+        accept, weight, H, kq, kt, kv = jax.device_get(
+            (accept, weight, H, kq, kt, kv))
+        acc_l.append(accept[:nb])
+        w_l.append(weight[:nb])
         H_l.append(np.array(H)[:nb])
-        kq_l.append(np.asarray(kq)[:nb])
-        kt_l.append(np.asarray(kt)[:nb])
-        kv_l.append(np.asarray(kv)[:nb])
+        kq_l.append(kq[:nb])
+        kt_l.append(kt[:nb])
+        kv_l.append(kv[:nb])
         if progress is not None:
             progress(nb / total * 0.5)
 

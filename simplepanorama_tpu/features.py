@@ -30,6 +30,10 @@ from simplepanorama_tpu.config import Config
 from simplepanorama_tpu.ops.sift import extract_sift, extract_sift_batch
 
 
+# per-shape SIFT chunk size that survived compile (see _extract_arrays)
+_SIFT_CHUNK_CACHE: dict = {}
+
+
 @dataclasses.dataclass
 class Features:
     """Per-image fixed-capacity features (host-side numpy views)."""
@@ -157,25 +161,46 @@ def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
     # compiled program, dispatched ceil(n/G) times with no host sync.
     per_img = Hp * Wp * (cfg.nOctaveLayers + 3) * 550
     budget = int(os.environ.get("SPT_SIFT_MEM_BUDGET", 9_000_000_000))
-    G = max(1, min(nb, budget // max(1, per_img)))
+    # cap 8 and self-tune downward: at some (batch, H, W) shapes XLA
+    # assigns the batched pyramid temporaries a batch-minor layout whose
+    # (8,128) tile padding explodes compile-time HBM ~10-20x past the
+    # estimate (observed 32 GB for a 14-image batch of 400-px images, 22
+    # GB for 8). Such a failure is a compile-time OOM, so it is caught
+    # and the chunk halved; the working size is remembered per shape.
+    G = max(1, min(nb, 8, budget // max(1, per_img)))
     if mesh is not None:
         G = max(mesh.size, G // mesh.size * mesh.size)
-    outs = []
-    for s in range(0, nb, G):
-        blk = slice(s, s + G)
-        pad = G - min(G, nb - s)
-        bb, hb = batch_d[blk], hw_d[blk]
-        if pad:  # trailing chunk: pad to the chunk shape (slots invalid)
-            bb = jnp.pad(bb, ((0, pad),) + ((0, 0),) * 3)
-            hb = jnp.pad(hb, ((0, pad), (0, 0)), constant_values=8)
-        fb = extract_sift_batch(
-            bb, hb,
-            max_kp=K,
-            n_layers=cfg.nOctaveLayers,
-            contrast_thresh=float(cfg.contrastThreshold),
-            edge_thresh=float(cfg.edgeThreshold),
-            sigma=float(cfg.sigma_sift))
-        outs.append(fb)
+    shape_key = (Hp, Wp, K, cfg.nOctaveLayers)
+    G = min(G, _SIFT_CHUNK_CACHE.get(shape_key, G))
+
+    def dispatch_all(G):
+        outs = []
+        for s in range(0, nb, G):
+            blk = slice(s, s + G)
+            pad = G - min(G, nb - s)
+            bb, hb = batch_d[blk], hw_d[blk]
+            if pad:  # trailing chunk: pad to the chunk shape (slots invalid)
+                bb = jnp.pad(bb, ((0, pad),) + ((0, 0),) * 3)
+                hb = jnp.pad(hb, ((0, pad), (0, 0)), constant_values=8)
+            outs.append(extract_sift_batch(
+                bb, hb,
+                max_kp=K,
+                n_layers=cfg.nOctaveLayers,
+                contrast_thresh=float(cfg.contrastThreshold),
+                edge_thresh=float(cfg.edgeThreshold),
+                sigma=float(cfg.sigma_sift)))
+        return outs
+
+    while True:
+        try:
+            outs = dispatch_all(G)
+            break
+        except Exception as e:  # jax runtime compile OOM
+            lo = mesh.size if mesh is not None else 1
+            if "Ran out of memory" not in str(e) or G <= lo:
+                raise
+            G = max(lo, G // 2 // lo * lo if mesh is not None else G // 2)
+    _SIFT_CHUNK_CACHE[shape_key] = G
     if len(outs) == 1:
         fb = outs[0]
     else:

@@ -45,10 +45,17 @@ def match_pair_batch(desc_q: jnp.ndarray,
                       preferred_element_type=jnp.float32)
     dots = jnp.where(valid_t[:, None, :], dots, -jnp.inf)
 
-    top2, top2_idx = jax.lax.top_k(dots, 2)          # (B, K, 2)
+    # top-2 as two max/argmax passes: lax.top_k lowers to a per-row sort
+    # on TPU (measured 11.7 ms for this shape vs 2.1 ms for the matmul +
+    # two fused reduce passes — the sort alone cost 5x the whole kernel)
+    best = jnp.max(dots, axis=2)
+    best_idx = jnp.argmax(dots, axis=2)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 2)
+    second = jnp.max(jnp.where(t_iota == best_idx[..., None], -jnp.inf,
+                               dots), axis=2)
     # unit-norm descriptors: d = sqrt(2 - 2 dot)
-    d0 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[..., 0], 0.0))
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[..., 1], 0.0))
+    d0 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 0.0))
     ok = (d0 < RATIO_THRESH * d1) & valid_q
     # need at least 2 valid train descriptors for a meaningful ratio
     ok = ok & (jnp.sum(valid_t, axis=1) >= 2)[:, None]
@@ -60,7 +67,7 @@ def match_pair_batch(desc_q: jnp.ndarray,
     order = order[:, :match_cap]                      # (B, match_cap)
     sel_ok = jnp.take_along_axis(ok, order, axis=1)
     q_idx = jnp.where(sel_ok, order, -1).astype(jnp.int32)
-    t_idx = jnp.take_along_axis(top2_idx[..., 0], order, axis=1)
+    t_idx = jnp.take_along_axis(best_idx, order, axis=1)
     t_idx = jnp.where(sel_ok, t_idx, -1).astype(jnp.int32)
     match_idx = jnp.stack([q_idx, t_idx], axis=-1)
     return match_idx, sel_ok, n_matches

@@ -203,10 +203,19 @@ def _dense_refine(dog: jnp.ndarray, n_layers: int, contrast_thresh: float,
     second_s = img_scale
     cross_s = img_scale * 0.25
 
-    def sh(a, dl=0, dy=0, dx=0):
-        return jnp.roll(a, (-dl, -dy, -dx), axis=(0, 1, 2))
-
+    # All 26 stencil taps slice ONE zero-padded copy of the stack instead
+    # of taking jnp.roll views: roll lowers to concatenate copies whose
+    # vmapped layouts XLA sometimes tiles batch-minor (observed 12x pad
+    # expansion -> 32 GB compile-time HBM for a 14-image batch); slices
+    # of a single padded buffer fuse. Border semantics differ (zero vs
+    # wrap) only at positions the `interior` mask below rejects anyway
+    # (layers 1..n_layers, >= _IMG_BORDER px from every image edge).
     d = dog
+    dp = jnp.pad(d, 1)
+
+    def sh(_, dl=0, dy=0, dx=0):
+        return jax.lax.slice(dp, (1 + dl, 1 + dy, 1 + dx),
+                             (1 + dl + L, 1 + dy + H, 1 + dx + W))
     dDx = (sh(d, 0, 0, 1) - sh(d, 0, 0, -1)) * deriv_s
     dDy = (sh(d, 0, 1, 0) - sh(d, 0, -1, 0)) * deriv_s
     dDs = (sh(d, 1, 0, 0) - sh(d, -1, 0, 0)) * deriv_s
