@@ -50,6 +50,7 @@ from simplepanorama_tpu.config import (
     write_config_file,
 )
 from simplepanorama_tpu.pipeline import Panorama, StitchCancelled
+from simplepanorama_tpu.viewer import PanoramaViewer
 
 __version__ = "0.1.0"
 
@@ -61,5 +62,6 @@ __all__ = [
     "read_config_file",
     "write_config_file",
     "Panorama",
+    "PanoramaViewer",
     "StitchCancelled",
 ]
