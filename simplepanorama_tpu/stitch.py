@@ -311,10 +311,16 @@ def bundle_adjust_stitching(comp: Component,
         # sorts its subproblem indices ascending, _stitch.cpp:88); under
         # renumbering that camera's NEW index is precomputed per addition
         vaug = inv[np.maximum.accumulate(np.array(in_order))].astype(np.int32)
+        # camera capacity padded to a multiple of 8: measured a 9x
+        # per-iteration cliff at exactly (N=36, M=27136) in the relaxed
+        # Schur path (38.6 ms/iter vs ~5 at N=33/34/40 same M — an XLA
+        # layout/padding pathology); 8-aligned camera counts sidestep it
+        # and the extra slots are inactive-masked
+        n_pad = _round_up(n, 8)
         cams0 = ba.CamState(
-            focal=jnp.full((n,), focal, jnp.float32),
-            ppal=jnp.zeros((n, 2), jnp.float32),
-            rotvec=jnp.zeros((n, 3), jnp.float32),
+            focal=jnp.full((n_pad,), focal, jnp.float32),
+            ppal=jnp.zeros((n_pad, 2), jnp.float32),
+            rotvec=jnp.zeros((n_pad, 3), jnp.float32),
             b=data.t)
         # mesh-aware BA: match tables (and the per-match b params) sharded
         # over the mesh, cameras replicated; XLA's partitioner turns the
@@ -368,20 +374,24 @@ def bundle_adjust_stitching(comp: Component,
                     rotvec=jax.device_put(cams0.rotvec, rep),
                     b=jax.device_put(cams0.b, msh))
                 sharded = True
-        active = jnp.zeros(n, bool).at[0].set(True)  # order[0] is camera 0
+        active = jnp.zeros(n_pad, bool).at[0].set(True)  # order[0] = cam 0
         oc = jnp.asarray(order_conns)
         Hp = jnp.asarray(H_pair)
         va = jnp.asarray(vaug)
         lam0 = jnp.asarray(float(cfg.lambda_), jnp.float32)
 
-        # chunk plan: split the addition schedule into ~6 pieces of equal
-        # WORK (per-addition cost ~ live matches x (6 x active cams)^2),
-        # each compiled at its own capacity bucket — matches rounded to
-        # 2048 (keeps mesh divisibility), cameras to 8. Equal-work chunks
-        # also give even progress ticks and cancellation granularity (the
-        # reference polls its cancel atomic per node, _stitch.cpp:240).
-        n_chunks = min(6, L - 1)
-        w = prefix[1:L].astype(np.float64) * (6.0 * (np.arange(1, L) + 1)) ** 2
+        # chunk plan: split the addition schedule into pieces of equal
+        # WORK, each compiled at its own capacity bucket — matches
+        # rounded to 2048 (keeps mesh divisibility), cameras to 8.
+        # Cost model: per-LM-iteration time at these sizes is measured
+        # latency/bandwidth-bound — roughly constant + linear in the
+        # live match count, NOT ~ M(6N)^2 (the compute model put 60% of
+        # the schedule in one big-capacity chunk). Equal-work chunks
+        # also give even progress ticks and cancellation granularity
+        # (the reference polls its cancel atomic per node,
+        # _stitch.cpp:240).
+        n_chunks = min(10, L - 1)
+        w = prefix[1:L].astype(np.float64) + 3000.0
         cw = np.cumsum(w)
         bounds = [1]
         for c in range(1, n_chunks):
@@ -391,7 +401,7 @@ def bundle_adjust_stitching(comp: Component,
         bounds.append(L)
         chunks = []
         for lo_, hi_ in zip(bounds[:-1], bounds[1:]):
-            n_cap = min(n, _round_up(hi_, 8))
+            n_cap = min(n_pad, _round_up(hi_, 8))
             m_cap = min(Mcap, _round_up(max(int(prefix[hi_ - 1]), 1), 2048))
             chunks.append((lo_, hi_, n_cap, m_cap))
 
