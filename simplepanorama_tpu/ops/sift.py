@@ -521,16 +521,35 @@ def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
                                        edge_thresh)
         # candidate pool: top-k extremum pixels by raw |DoG| response;
         # refinement values come from the dense maps via flat gathers
-        # (never a vmapped pyramid access — see _dense_refine docstring)
-        score0 = jnp.where(is_ext & interior_map,
-                           jnp.abs(dog), 0.0).reshape(-1)
-        k = min(budget, score0.shape[0])
-        vals0, idx = jax.lax.top_k(score0, k)
+        # (never a vmapped pyramid access — see _dense_refine docstring).
+        # top_k over the full octave lowers to a ~9M-element sort (0.16 s
+        # of a 0.48 s extraction); instead the score is INT-ENCODED with
+        # its 4x4-block offset in the low bits, block-maxed with a
+        # strided reduce_window, and the top-k sorts 16x fewer elements.
+        # At most one candidate survives per (layer, 4x4 block) — 3x3x3
+        # extrema are already >=2 px apart, so collisions are rare, and
+        # the refinement movement re-ranks the pool anyway.
+        score_map = jnp.where(is_ext & interior_map, jnp.abs(dog), 0.0)
+        q = jnp.minimum(score_map * 131072.0, 2.0 ** 27 - 1)
+        yy_o = jax.lax.broadcasted_iota(jnp.int32, score_map.shape, 1)
+        xx_o = jax.lax.broadcasted_iota(jnp.int32, score_map.shape, 2)
+        off4 = ((yy_o % 4) << 2) | (xx_o % 4)
+        enc = jnp.where(q > 0, (q.astype(jnp.int32) << 4) | off4, 0)
+        pooled = jax.lax.reduce_window(
+            enc, 0, jax.lax.max, (1, 4, 4), (1, 4, 4), "SAME")
+        Hb4, Wb4 = pooled.shape[1], pooled.shape[2]
+        pf = pooled.reshape(-1)
+        k = min(budget, pf.shape[0])
+        enc_k, pidx = jax.lax.top_k(pf, k)
         pad = budget - k
         if pad > 0:
-            idx = jnp.pad(idx, (0, pad))
-            vals0 = jnp.pad(vals0, (0, pad))
-        cand = vals0 > 0
+            pidx = jnp.pad(pidx, (0, pad))
+            enc_k = jnp.pad(enc_k, (0, pad))
+        cand = enc_k > 0
+        l_i = pidx // (Hb4 * Wb4)
+        rem = pidx % (Hb4 * Wb4)
+        y_i = (rem // Wb4) * 4 + ((enc_k >> 2) & 3)
+        x_i = (rem % Wb4) * 4 + (enc_k & 3)
 
         xo_f = xo_map.reshape(-1)
         yo_f = yo_map.reshape(-1)
@@ -542,9 +561,6 @@ def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
         # OpenCV's movement iteration (adjustLocalExtrema): step to the
         # neighboring pixel/layer when the quadratic fit lands outside
         # +-0.5, re-reading the dense fit at the new location
-        l_i = idx // (Ho * Wo)
-        y_i = (idx % (Ho * Wo)) // Wo
-        x_i = idx % Wo
         done = jnp.zeros_like(cand)
         for _ in range(_MAX_INTERP_STEPS):
             lin = l_i * (Ho * Wo) + y_i * Wo + x_i
