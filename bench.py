@@ -112,7 +112,13 @@ def bench_sequences(repeats=3):
         # one synced run for the stage breakdown: the device stream is
         # drained at every stage boundary so async device time lands on
         # the stage that dispatched it (honest attribution; the sync
-        # points make this run slightly slower than `seconds`)
+        # points make this run slightly slower than `seconds`, and on a
+        # network-attached device each boundary adds ~one RTT)
+        from simplepanorama_tpu.utils.timing import _sync_device
+        try:
+            _sync_device()        # pre-compile the drain program so the
+        except Exception:         # first stage doesn't absorb it
+            pass
         os.environ["SPT_SYNC_STAGES"] = "1"
         timer.durations.clear()
         timer.counts.clear()
@@ -277,7 +283,7 @@ _PEAK_FLOPS = {
 }
 
 
-def _mfu_entry(fn, args, label, repeats=5):
+def _mfu_entry(fn, args, label, repeats=20):
     """Measure one jitted kernel: XLA cost-analysis FLOPs + bytes vs
     measured wall time -> achieved FLOP/s, arithmetic intensity, and
     utilization when the chip kind is known."""
@@ -294,10 +300,18 @@ def _mfu_entry(fn, args, label, repeats=5):
         flops, bytes_acc = 0.0, 0.0
     out = compiled(*args)
     jax.block_until_ready(out)
+    # np-fetch a leaf to force real materialization (on the tunnel
+    # transport, block_until_ready alone has returned early), and use
+    # enough repeats that per-call dispatch amortizes
+    def _fetch(o):
+        import numpy as _np
+        leaf = jax.tree.leaves(o)[0]
+        _np.asarray(leaf).ravel()[:1]
     t0 = time.time()
     for _ in range(repeats):
         out = compiled(*args)
     jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.time() - t0) / repeats
     achieved = flops / dt if dt > 0 else 0.0
     entry = {

@@ -75,3 +75,28 @@ def test_reads_reference_style_file(tmp_path):
     assert c.fast
     assert not c.cut_seams
     assert abs(c.conf - 0.05) < 1e-6
+
+
+def test_bench_comm_accounting_shape():
+    """bench.bench_comm_accounting is a pure function of stage timings;
+    its forecast must be well-formed and monotone in mesh size."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    seqs = {"map": {"stages_s": {
+        "keypoints": 0.5, "matching": 0.25, "bundle_adjust": 0.28,
+        "render_preview": 0.2, "compositing": 0.18, "warp": 0.1,
+        "equalize": 0.03, "dist_cut": 0.03, "load": 0.05}}}
+    acc = bench.bench_comm_accounting(seqs)
+    per = acc["per_mesh"]
+    assert set(per) == {"2_chips", "4_chips", "8_chips"}
+    effs = [per[k]["forecast_efficiency"] for k in
+            ("2_chips", "4_chips", "8_chips")]
+    assert all(0 < e <= 1.0 for e in effs)
+    assert effs[0] >= effs[1] >= effs[2]      # Amdahl monotonicity
+    for k in per:
+        assert per[k]["collective_bytes"]["bundle_adjust"] > 0
+        assert per[k]["collective_bytes"]["blend"] > 0

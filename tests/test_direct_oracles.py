@@ -149,3 +149,35 @@ def test_straighten_aligns_tilt_property():
     def mean_updot(rs):
         return np.mean([r[1, 1] for r in rs])
     assert mean_updot(out) > mean_updot(rots)
+
+
+def test_cylinder_prewarp_properties():
+    """Legacy cylindrical pre-warp (images::images_to_cylinder,
+    _image.cpp:168-191): the center pixel is a fixed point, the center
+    row maps through x = f*tan((u-cx)/f) exactly, and columns compress
+    toward the edges (cylindrical squeeze)."""
+    import cv2
+    from simplepanorama_tpu.io import cylinder_prewarp
+    h, w, f = 120, 240, 200.0
+    # vertical stripe pattern so horizontal compression is observable
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, ::10] = 255
+    out = cylinder_prewarp(img, f)
+    assert out.shape == img.shape
+    # center pixel fixed: theta=0 -> x=0, y=v-cy
+    assert (out[h // 2, w // 2] == img[h // 2, w // 2]).all()
+    # an off-center column u samples source x = f*tan((u-cx)/f) + cx,
+    # which is FARTHER from center than u (tan(t) >= t): content near the
+    # borders gets pulled inward, so the outermost source stripes vanish
+    # from the output unless tan stays small. Verify the mapping on a
+    # delta image: a single white source column at u0 appears at the
+    # INVERSE-mapped location atan((u0-cx)/f)*f + cx.
+    delta = np.zeros((h, w), np.float32)
+    u0 = 200
+    delta[:, u0] = 255.0
+    warped = cylinder_prewarp(delta[..., None].repeat(3, -1)
+                              .astype(np.uint8), f)
+    row = warped[h // 2, :, 0].astype(np.float32)
+    u_expect = np.arctan((u0 - w / 2) / f) * f + w / 2
+    peak = row.argmax()
+    assert abs(peak - u_expect) <= 1.5, (peak, u_expect)
