@@ -524,20 +524,22 @@ def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
         # (never a vmapped pyramid access — see _dense_refine docstring).
         # top_k over the full octave lowers to a ~9M-element sort (0.16 s
         # of a 0.48 s extraction); instead the score is INT-ENCODED with
-        # its 4x4-block offset in the low bits, block-maxed with a
-        # strided reduce_window, and the top-k sorts 16x fewer elements.
-        # At most one candidate survives per (layer, 4x4 block) — 3x3x3
-        # extrema are already >=2 px apart, so collisions are rare, and
-        # the refinement movement re-ranks the pool anyway.
+        # its 2x2-block offset in the low bits, block-maxed with a
+        # strided reduce_window, and the top-k sorts 4x fewer elements.
+        # At most one candidate survives per (layer, 2x2 block), which is
+        # lossless up to ties: two pixels of the SAME layer inside a 2x2
+        # block are 4/8-adjacent, and adjacent pixels cannot both be
+        # strict 3x3x3 extrema. (4x4 blocks measurably perturbed the
+        # keypoint set — the map focal-from-H seed moved 30%.)
         score_map = jnp.where(is_ext & interior_map, jnp.abs(dog), 0.0)
-        q = jnp.minimum(score_map * 131072.0, 2.0 ** 27 - 1)
+        q = jnp.minimum(score_map * 131072.0, 2.0 ** 28 - 1)
         yy_o = jax.lax.broadcasted_iota(jnp.int32, score_map.shape, 1)
         xx_o = jax.lax.broadcasted_iota(jnp.int32, score_map.shape, 2)
-        off4 = ((yy_o % 4) << 2) | (xx_o % 4)
-        enc = jnp.where(q > 0, (q.astype(jnp.int32) << 4) | off4, 0)
+        off2 = ((yy_o % 2) << 1) | (xx_o % 2)
+        enc = jnp.where(q > 0, (q.astype(jnp.int32) << 2) | off2, 0)
         pooled = jax.lax.reduce_window(
-            enc, 0, jax.lax.max, (1, 4, 4), (1, 4, 4), "SAME")
-        Hb4, Wb4 = pooled.shape[1], pooled.shape[2]
+            enc, 0, jax.lax.max, (1, 2, 2), (1, 2, 2), "SAME")
+        Hb2, Wb2 = pooled.shape[1], pooled.shape[2]
         pf = pooled.reshape(-1)
         k = min(budget, pf.shape[0])
         enc_k, pidx = jax.lax.top_k(pf, k)
@@ -546,10 +548,10 @@ def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
             pidx = jnp.pad(pidx, (0, pad))
             enc_k = jnp.pad(enc_k, (0, pad))
         cand = enc_k > 0
-        l_i = pidx // (Hb4 * Wb4)
-        rem = pidx % (Hb4 * Wb4)
-        y_i = (rem // Wb4) * 4 + ((enc_k >> 2) & 3)
-        x_i = (rem % Wb4) * 4 + (enc_k & 3)
+        l_i = pidx // (Hb2 * Wb2)
+        rem = pidx % (Hb2 * Wb2)
+        y_i = (rem // Wb2) * 2 + ((enc_k >> 1) & 1)
+        x_i = (rem % Wb2) * 2 + (enc_k & 1)
 
         xo_f = xo_map.reshape(-1)
         yo_f = yo_map.reshape(-1)
