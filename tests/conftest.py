@@ -9,6 +9,13 @@ import os
 # on the virtual CPU mesh unless SPT_TEST_PLATFORM overrides.
 _platform = os.environ.get("SPT_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
+# tests get their OWN persistent compile cache: sharing the package
+# default (/tmp/spt_jax_cache) with a live TPU session — or two pytest
+# sessions racing the same key — segfaulted inside
+# compilation_cache.put_executable_and_time. Do not run two pytest
+# sessions concurrently either.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/spt_jax_cache_tests")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
