@@ -20,6 +20,21 @@ from simplepanorama_tpu.io import ImageSet
 pytestmark = pytest.mark.slow
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Serializing one of this module's blend executables for the
+    persistent compile cache segfaults deterministically inside
+    compilation_cache.put_executable_and_time (zstd on that specific
+    payload; reproduced twice at test_fullres_other_blends_match_host
+    with no concurrent process). Compiles here are module-local anyway,
+    so turn the persistent cache off for the module."""
+    import jax
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 def _cfg(**kw):
     c = Config()
     c.init_size = 400
