@@ -141,6 +141,35 @@ def _blur_batch(x: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
     return xx.reshape(N, C, H, W).transpose(0, 2, 3, 1)
 
 
+def mb_batch_contribution(imgs, seam_msks, orig_msks, bands: int,
+                          sigma: float):
+    """Per-image multiband (color, alpha) contributions for a whole
+    (N, H, W, ·) batch: every band level is ONE grouped conv over the
+    4-channel (image, seam) stack — the batched form of the per-image
+    band loop in multi_blend (accumulation over images commutes, so
+    contributions can be folded into a canvas in any order)."""
+    radius = int(np.ceil(3 * sigma))
+    src = jnp.concatenate(
+        [imgs, (seam_msks[..., None] > 0).astype(jnp.float32)], -1)
+    sigmas = [float(np.sqrt(2 * (bands - i) + 1) * sigma)
+              for i in range(bands)]
+    blurred = {s: _blur_batch(src, s, radius) for s in set(sigmas)}
+    color = jnp.zeros_like(imgs)
+    alpha = jnp.zeros(imgs.shape[:3], jnp.float32)
+    for i in range(bands):
+        sb = sigmas[i]
+        if i == bands - 1:
+            band = imgs - blurred[sb][..., :3]
+        elif i > 0:
+            band = blurred[sb][..., :3] - blurred[sigmas[i + 1]][..., :3]
+        else:
+            band = blurred[sb][..., :3]
+        w = jnp.where(orig_msks > 0, blurred[sb][..., 3], 0.0)
+        color = color + band * w[..., None]
+        alpha = alpha + w
+    return color, alpha
+
+
 @functools.partial(jax.jit, static_argnames=("canvas_hw", "bands", "sigma"))
 def multi_blend(imgs, seam_msks, orig_msks, offs, canvas_hw,
                 bands: int = 2, sigma: float = 7.0):

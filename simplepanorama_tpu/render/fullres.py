@@ -162,43 +162,96 @@ def _chunk_accum(color, alpha, src_u8, Ka, R, corner, vhw, roi_wh, offs,
     method NO: color is the canvas, alpha unused (paste in order).
     Padding entries are passed with vhw = 0 -> empty mask -> no-op.
 
-    The per-image fold runs as ONE lax.scan step — compile time is
-    independent of the chunk size (an unrolled loop of warp+resize+
-    multiband graphs was the compile-time high-water mark of the suite).
-    """
-    def step(carry, xs):
-        color, alpha = carry
-        (src, Ka_g, R_g, c_g, vhw_g, wh_g, off, sb, sr, fb, fr, g_g) = xs
-        img, mask, seam = _prep_block(
-            src.astype(jnp.float32), Ka_g, R_g, c_g, vhw_g, wh_g,
-            scale, kind, out_h, out_w, sb, sr, fb, fr, g_g,
-            use_seam, use_field)
-        if method == "MULTI":
-            c, a = _mb_contribution(img, seam, mask, bands, sigma)
-            color = _acc_add(color, c, off)
-            alpha = _acc_add(alpha, a, off)
-        elif method == "SIMPLE":
-            dt = distance_transform(mask > 0)
-            a = dt / jnp.maximum(jnp.max(dt), 1e-12)
+    The per-image work is BATCHED across the chunk (packed-neighborhood
+    uint8 warp, one grouped conv per band level, one windowed erode) —
+    the hardware-shaped form of the image loop; only the order-free
+    canvas folds run as a lax.scan, so compile time stays independent of
+    the chunk size."""
+    G = src_u8.shape[0]
+
+    def prep(src, Ka_g, R_g, c_g, vhw_g, wh_g, sb, sr, fb, fr, g_g):
+        warped, mask = prj.warp_from_grid_u8(
+            src, Ka_g, R_g, c_g, scale, kind,
+            jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0),
+            jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1),
+            vhw_g)
+        if use_seam:
+            seam_up = _upsample_block(sb, (out_h, out_w), sr, cubic=True)
+        else:
+            seam_up = jnp.zeros((out_h, out_w), jnp.float32)
+        img = warped / g_g
+        if use_field:
+            f_up = _upsample_block(fb, (out_h, out_w), fr, cubic=False)
+            f_up = jnp.where(jnp.abs(f_up) < 1e-6, 1.0, f_up)
+            img = img / f_up[..., None]
+        # NOTE: img is intentionally NOT zeroed outside the eroded mask —
+        # the reference blurs the full warped block (values in the
+        # erosion rim bleed into the band colors); the weights alone are
+        # mask-gated.
+        return img, mask, seam_up
+
+    imgs, masks, seam_ups = jax.vmap(prep)(
+        src_u8, Ka, R, corner, vhw, roi_wh, seam_blks, seam_ratios,
+        field_blks, field_ratios, gains)
+    masks = prj.erode_mask(masks, iters=4)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, out_h, out_w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, out_h, out_w), 2)
+    masks = masks & (yy < roi_wh[:, 1, None, None]) \
+        & (xx < roi_wh[:, 0, None, None])
+    masks_f = masks.astype(jnp.float32)
+    if use_seam:
+        seams = jnp.where((seam_ups > 0.5) & masks, 1.0, 0.0)
+    else:
+        seams = masks_f
+
+    if method == "MULTI":
+        from simplepanorama_tpu.render.blending import mb_batch_contribution
+        colors, alphas = mb_batch_contribution(imgs, seams, masks_f,
+                                               bands, sigma)
+
+        def step(carry, xs):
+            color, alpha = carry
+            c, a, off = xs
+            return (_acc_add(color, c, off), _acc_add(alpha, a, off)), None
+
+        (color, alpha), _ = jax.lax.scan(step, (color, alpha),
+                                         (colors, alphas, offs))
+        return color, alpha
+
+    if method == "SIMPLE":
+        dts = jax.vmap(lambda m: distance_transform(m > 0))(masks_f)
+        feas = dts / jnp.maximum(
+            jnp.max(dts, axis=(1, 2), keepdims=True), 1e-12)
+
+        def step(carry, xs):
+            color, alpha = carry
+            img, fea, off = xs
             acc_a = jax.lax.dynamic_slice(
                 alpha, (off[0], off[1]), (out_h, out_w))
-            contrib = a * (1.0 - acc_a)
+            contrib = fea * (1.0 - acc_a)
             color = _acc_add(color, img * contrib[..., None], off)
             alpha = jax.lax.dynamic_update_slice(
                 alpha, acc_a + contrib, (off[0], off[1]))
-        else:  # NO_BLEND: masked paste in order
-            m = (seam if paste_seam else mask)[..., None] > 0
-            sl = jax.lax.dynamic_slice(
-                color, (off[0], off[1], 0), (out_h, out_w, 3))
-            sl = jnp.where(m, img, sl)
-            color = jax.lax.dynamic_update_slice(
-                color, sl, (off[0], off[1], 0))
+            return (color, alpha), None
+
+        (color, alpha), _ = jax.lax.scan(step, (color, alpha),
+                                         (imgs, feas, offs))
+        return color, alpha
+
+    # NO_BLEND: masked paste in order
+    def step(carry, xs):
+        color, alpha = carry
+        img, sel, off = xs
+        sl = jax.lax.dynamic_slice(
+            color, (off[0], off[1], 0), (out_h, out_w, 3))
+        sl = jnp.where(sel[..., None] > 0, img, sl)
+        color = jax.lax.dynamic_update_slice(
+            color, sl, (off[0], off[1], 0))
         return (color, alpha), None
 
     (color, alpha), _ = jax.lax.scan(
         step, (color, alpha),
-        (src_u8, Ka, R, corner, vhw, roi_wh, offs, seam_blks, seam_ratios,
-         field_blks, field_ratios, gains))
+        (imgs, seams if paste_seam else masks_f, offs))
     return color, alpha
 
 
