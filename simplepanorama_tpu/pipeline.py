@@ -78,10 +78,42 @@ class Panorama:
         self.stitch_params = None    # post-BA compositing state
         self.config: Optional[Config] = None
         self._full_pano: Optional[np.ndarray] = None
+        self._full_prefetch = None   # (thread, result-dict)
         self.connected = (0, 0)      # (n_connected, n_total)
 
     def cancel(self) -> None:
         self.cancel_token.cancel()
+
+    def _start_full_prefetch(self) -> None:
+        """Decode the full-res connected images and upload the packed
+        source stack in the background, overlapping preview compositing
+        (the sources depend only on the stitch result, never on blend/
+        projection settings — see fullres.prefetch_sources). get_panorama
+        then starts with device-resident sources instead of paying
+        decode + tunnel upload on its critical path."""
+        from simplepanorama_tpu.render.fullres import prefetch_sources
+        params, images = self.stitch_params, self.images
+        if params is None:
+            return
+        res = params.res
+        connected = [False] * len(images.loaded)
+        for g in res.nodes:
+            connected[g] = True
+        threads = self.config.threads if self.config else 4
+        out: dict = {}
+
+        def work():
+            try:
+                full = images.load_connected_images(connected, threads)
+                comp_full = [full[g] for g in res.nodes]
+                out["full"] = comp_full
+                out["stack"] = prefetch_sources(params, comp_full)
+            except Exception:       # fall back to the synchronous path
+                out.clear()
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._full_prefetch = (params, t, out)
 
     # Full implementation lands with the end-to-end milestone; see
     # simplepanorama_tpu/stitcher.py for the staged pipeline functions.
@@ -91,6 +123,8 @@ class Panorama:
         self.result, self.stitch_params, self.connected = stitcher.run_pipeline(
             self.images, self.config, self.progress, self.cancel_token)
         self._full_pano = None
+        if self.stitch_params is not None:
+            self._start_full_prefetch()
         return self
 
     def save_state(self, path) -> None:
@@ -141,6 +175,9 @@ class Panorama:
                                                  config)
         self.connected = (len(self.result.nodes), len(self.images.img_data))
         self._full_pano = None
+        if self._full_prefetch is None or \
+                self._full_prefetch[0].res is not self.result:
+            self._start_full_prefetch()
         return self
 
     def get_preview(self) -> np.ndarray:
@@ -157,8 +194,17 @@ class Panorama:
         if self.stitch_params is None:
             raise RuntimeError("stitch() has not been run")
         if self._full_pano is None:
-            self._full_pano = stitcher.render_full_from_imageset(
-                self.stitch_params, self.config, self.images)
+            pre = self._full_prefetch
+            if pre is not None and pre[0].res is self.stitch_params.res:
+                _, t, out = pre
+                t.join()
+                if "full" in out:
+                    self._full_pano = stitcher.render_full(
+                        self.stitch_params, self.config, out["full"],
+                        src_stack=out.get("stack"))
+            if self._full_pano is None:
+                self._full_pano = stitcher.render_full_from_imageset(
+                    self.stitch_params, self.config, self.images)
         if roi is None:
             return self._full_pano
         preview = self.get_preview()

@@ -243,7 +243,8 @@ def _render_preview_inner(params, cfg, compose, jnp):
 
 
 def render_full(params: StitchParams, cfg: Config,
-                full_images: Sequence[Optional[np.ndarray]]) -> np.ndarray:
+                full_images: Sequence[Optional[np.ndarray]],
+                src_stack=None) -> np.ndarray:
     """Full-resolution re-render (stitch_parameters::return_full):
     rescale K by the full/preview resolution ratio, re-project, resize
     seam masks (on device), re-blend. ``full_images`` indexed like the
@@ -261,7 +262,8 @@ def render_full(params: StitchParams, cfg: Config,
     from simplepanorama_tpu.render.fullres import render_full_dev
     from simplepanorama_tpu.utils.timing import stage
     with stage("render_full"):
-        return render_full_dev(params, cfg, full_images)
+        return render_full_dev(params, cfg, full_images,
+                               src_stack=src_stack)
 
 
 def render_full_host(params: StitchParams, cfg: Config,
