@@ -50,19 +50,14 @@ class Adjacency:
         dataclasses.field(default_factory=dict)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_iter", "match_cap", "keep_cap"))
-def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
-                  hw_q, hw_t, keys,
-                  n_iter: int, match_cap: int, keep_cap: int,
-                  margin, min_overlap, overlap_inl_match,
-                  overlap_inl_keyp, conf):
-    """Verify a batch of B image pairs. Returns per-pair acceptance,
+def _verify_core(q, t, match_valid, xy_q, xy_t, valid_q, valid_t,
+                 hw_q, hw_t, keys, n_raw,
+                 n_iter: int, keep_cap: int,
+                 margin, min_overlap, overlap_inl_match,
+                 overlap_inl_keyp, conf):
+    """RANSAC + overlap acceptance for a batch of pairs whose 2-NN match
+    coordinates are already gathered. Returns per-pair acceptance,
     weight, H, and cleaned match coordinates (fixed capacity keep_cap)."""
-    B = desc_q.shape[0]
-    match_idx, match_valid, n_raw = match_pair_batch(
-        desc_q, desc_t, valid_q, valid_t, match_cap)
-    q, t = gather_match_coords(xy_q, xy_t, match_idx, match_valid)
 
     def one(q1, t1, mv, hw1, hw2, xy1, v1, xy2, v2, key, nr):
         H, inl = ransac_homography(q1, t1, mv, hw1, hw2, key,
@@ -101,6 +96,48 @@ def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
 
     return jax.vmap(one)(q, t, match_valid, hw_q, hw_t,
                          xy_q, valid_q, xy_t, valid_t, keys, n_raw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iter", "match_cap", "keep_cap"))
+def _verify_pairs(desc_q, desc_t, xy_q, xy_t, valid_q, valid_t,
+                  hw_q, hw_t, keys,
+                  n_iter: int, match_cap: int, keep_cap: int,
+                  margin, min_overlap, overlap_inl_match,
+                  overlap_inl_keyp, conf):
+    """Verify a batch of B image pairs from raw descriptors (recomputes
+    the 2-NN; the multi-process path, where pass-1 tables live on other
+    hosts' shards)."""
+    match_idx, match_valid, n_raw = match_pair_batch(
+        desc_q, desc_t, valid_q, valid_t, match_cap)
+    q, t = gather_match_coords(xy_q, xy_t, match_idx, match_valid)
+    return _verify_core(q, t, match_valid, xy_q, xy_t, valid_q, valid_t,
+                        hw_q, hw_t, keys, n_raw,
+                        n_iter=n_iter, keep_cap=keep_cap, margin=margin,
+                        min_overlap=min_overlap,
+                        overlap_inl_match=overlap_inl_match,
+                        overlap_inl_keyp=overlap_inl_keyp, conf=conf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "keep_cap"))
+def _verify_pairs_cached(mi_tab, mv_tab, nm_tab, rows, xy, valid, hw,
+                         qi, ti, keys,
+                         n_iter: int, keep_cap: int,
+                         margin, min_overlap, overlap_inl_match,
+                         overlap_inl_keyp, conf):
+    """Verify a batch of pairs REUSING the pass-1 2-NN tables
+    (single-process path): the matmul family runs once per pair total —
+    pass 2 is pure gathers + RANSAC + overlap tests, one dispatch."""
+    match_idx = mi_tab[rows]
+    match_valid = mv_tab[rows]
+    n_raw = nm_tab[rows]
+    q, t = gather_match_coords(xy[qi], xy[ti], match_idx, match_valid)
+    return _verify_core(q, t, match_valid, xy[qi], xy[ti],
+                        valid[qi], valid[ti], hw[qi], hw[ti], keys, n_raw,
+                        n_iter=n_iter, keep_cap=keep_cap, margin=margin,
+                        min_overlap=min_overlap,
+                        overlap_inl_match=overlap_inl_match,
+                        overlap_inl_keyp=overlap_inl_keyp, conf=conf)
 
 
 @jax.jit
@@ -159,8 +196,15 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
                      chunk: int = 64,
                      progress: Optional[Callable[[float], None]] = None,
                      cancelled: Optional[Callable[[], bool]] = None,
-                     ) -> np.ndarray:
+                     keep_tables: bool = False):
     """Pass 1: ratio-test match counts for all upper-triangular pairs.
+
+    With ``keep_tables`` (single-process only) the per-pair compacted
+    match tables stay ON DEVICE and are returned as
+    (match_idx, match_valid, n_raw) concatenated over chunks — pair k of
+    the upper-tri order sits at row k — so pass 2 never recomputes the
+    2-NN matmuls (VERDICT r4 item 5). Returns (counts, tables) in that
+    case, plain counts otherwise.
 
     Multi-process: the pair list is host-sharded (the reference's
     std::thread pool over (i,j) pairs scaled across hosts, SURVEY §5) and
@@ -171,11 +215,16 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
     counts = np.zeros((n, n))
     all_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     pairs, per, nproc = _host_pair_shard(all_pairs)
+    want_tables = keep_tables
+    if nproc > 1:        # pass-1 tables live on other hosts' shards
+        keep_tables = False
     xy, desc, valid = _stack_features(feats)
     mesh = pipeline_mesh()
     if mesh is not None:
         chunk = pad_leading(chunk, mesh.size)
     total = max(1, len(pairs))
+    tab_mi, tab_mv, tab_nm = [], [], []
+    nm_chunks = []
     for s in range(0, len(pairs), chunk):
         if cancelled is not None and cancelled():
             raise RuntimeError("Process canceled")
@@ -188,12 +237,26 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
         args = _gather_count_args(desc, valid, qi, ti)
         if mesh is not None:
             args = shard_leading(args, mesh)
-        _, _, nm = match_pair_batch(*args, cfg.max_matches_per_pair)
+        midx, mval, nm = match_pair_batch(*args,
+                                          cfg.max_matches_per_pair)
+        if keep_tables:
+            tab_mi.append(midx)
+            tab_mv.append(mval)
+            tab_nm.append(nm)
+        # defer the host fetch: dispatches pipeline across chunks and
+        # the counts arrive in one drain at the end
+        nm_chunks.append((blk, nm))
+        if progress is not None:
+            progress(len(blk) / total)
+    for blk, nm in nm_chunks:
         nm = np.asarray(nm)
         for (i, j), c in zip(blk, nm):
             counts[i, j] = float(c)
-        if progress is not None:
-            progress(len(blk) / total)
+    if keep_tables:
+        cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
+        tables = (cat(tab_mi), cat(tab_mv), cat(tab_nm))
+    else:
+        tables = None
     if nproc > 1:
         from jax.experimental import multihost_utils
         flat = np.array([counts[i, j] for (i, j) in pairs], np.float64)
@@ -204,6 +267,8 @@ def raw_match_counts(feats: Sequence[Features], cfg: Config,
         counts[:] = 0.0
         for k, (i, j) in enumerate(all_pairs):
             counts[i, j] = gathered[k]
+    if want_tables:
+        return counts, tables
     return counts
 
 
@@ -233,10 +298,10 @@ def build_adjacency(feats: Sequence[Features],
                     ) -> Adjacency:
     """Full two-pass adjacency computation (panorama::get_adj_par)."""
     n = len(feats)
-    counts = raw_match_counts(
+    counts, tables = raw_match_counts(
         feats, cfg, chunk=64,
         progress=(lambda d: progress(d * 0.5)) if progress else None,
-        cancelled=cancelled)
+        cancelled=cancelled, keep_tables=True)
     filtered = heuristic_match_filter(counts, cfg.max_images_per_match)
 
     adj = np.zeros((n, n))
@@ -244,6 +309,10 @@ def build_adjacency(feats: Sequence[Features],
     hom[:] = np.eye(3)
     result = Adjacency(adj=adj, raw_counts=counts, hom_mat=hom)
 
+    # position of pair (i, j) in the pass-1 upper-tri order (= its row
+    # in the retained device match tables)
+    pair_pos = {(i, j): k for k, (i, j) in enumerate(
+        (i, j) for i in range(n) for j in range(i + 1, n))}
     all_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
                  if filtered[i, j] >= _MIN_RAW_MATCHES]
     if not all_pairs:
@@ -276,21 +345,32 @@ def build_adjacency(feats: Sequence[Features],
         ti = jnp.asarray([p[1] for p in blk_p])
         keys = _pair_keys(master,
                           jnp.asarray([p[0] * n + p[1] for p in blk_p]))
-        # pair-batch data parallelism over the mesh (the reference's
-        # std::thread pool over (i,j) pairs, _panorama.cpp:385-436)
-        args = _gather_verify_args(desc, xy, valid, hw, qi, ti) + (keys,)
-        if mesh is not None:
-            args = shard_leading(args, mesh)
-        accept, weight, H, kq, kt, kv = _verify_pairs(
-            *args,
+        common = dict(
             n_iter=cfg.RANSAC_iterations,
-            match_cap=cfg.max_matches_per_pair,
             keep_cap=cfg.max_keypoints,
             margin=float(cfg.x_margin),
             min_overlap=cfg.min_overlap,
             overlap_inl_match=cfg.overlap_inl_match,
             overlap_inl_keyp=cfg.overlap_inl_keyp,
             conf=cfg.conf)
+        if tables is not None:
+            # single-process: reuse the pass-1 match tables — pass 2 is
+            # gathers + RANSAC + overlap, no second 2-NN matmul
+            rows = jnp.asarray([pair_pos[p] for p in blk_p], jnp.int32)
+            if mesh is not None:
+                rows, qi, ti, keys = shard_leading((rows, qi, ti, keys),
+                                                   mesh)
+            accept, weight, H, kq, kt, kv = _verify_pairs_cached(
+                *tables, rows, xy, valid, hw, qi, ti, keys, **common)
+        else:
+            # pair-batch data parallelism over the mesh (the reference's
+            # std::thread pool over (i,j) pairs, _panorama.cpp:385-436)
+            args = _gather_verify_args(desc, xy, valid, hw, qi, ti) \
+                + (keys,)
+            if mesh is not None:
+                args = shard_leading(args, mesh)
+            accept, weight, H, kq, kt, kv = _verify_pairs(
+                *args, match_cap=cfg.max_matches_per_pair, **common)
         nb = len(blk)
         # ONE batched transfer for the six outputs (six eager np.asarray
         # fetches cost six round trips on a network-attached device)

@@ -91,12 +91,25 @@ def extract_features(images: Sequence[np.ndarray],
     all-gathered over DCN (SURVEY §5 workload split; the reference's
     per-image std::async fan-out scaled across hosts).
     """
-    if not images:
+    pending = images if hasattr(images, "futures") else None
+    if pending is not None and (
+            _needs_full_list(pending)
+            or any(d is None for d in pending.dims)):
+        images = pending.finalize()
+        pending = None
+    if pending is None and not images:
         return []
     if cancelled is not None and cancelled():
         raise RuntimeError("Process canceled")
     import jax as _jax
-    if _jax.process_count() > 1:
+    if pending is not None:
+        # streaming: SIFT chunks dispatch as soon as their images decode,
+        # so host decode overlaps device compute (VERDICT r4 item 3)
+        arrays, device_images = _extract_arrays_stream(pending, cfg,
+                                                       cancelled)
+        images = pending.finalize()
+        device_batch = (arrays[0], arrays[3], arrays[4])
+    elif _jax.process_count() > 1:
         arrays = _extract_multihost(images, cfg)
         # re-upload the gathered tables once so matching keeps the
         # no-descriptor-round-trip device path (the DCN allgather already
@@ -114,6 +127,107 @@ def extract_features(images: Sequence[np.ndarray],
     out.device_batch = device_batch
     out.device_images = device_images
     return out
+
+
+def _needs_full_list(pending) -> bool:
+    """Streaming extraction covers the single-process path (sharded or
+    not is decided per-chunk below); multi-process extraction needs the
+    materialized list for the host-shard split."""
+    import jax as _jax
+    from simplepanorama_tpu.parallel.mesh import pipeline_mesh
+    return _jax.process_count() > 1 or pipeline_mesh() is not None
+
+
+def _sift_chunk_size(nb: int, Hp: int, Wp: int, cfg: Config,
+                     mesh=None) -> int:
+    """Memory-budgeted SIFT chunk size (see _extract_arrays for the
+    measured per-image footprint model and the compile-OOM self-tuning
+    that can shrink it further)."""
+    K = cfg.sift_max_features()
+    per_img = Hp * Wp * (cfg.nOctaveLayers + 3) * 550
+    budget = int(os.environ.get("SPT_SIFT_MEM_BUDGET", 9_000_000_000))
+    G = max(1, min(nb, 8, budget // max(1, per_img)))
+    if mesh is not None:
+        G = max(mesh.size, G // mesh.size * mesh.size)
+    shape_key = (Hp, Wp, K, cfg.nOctaveLayers)
+    return min(G, _SIFT_CHUNK_CACHE.get(shape_key, G))
+
+
+def _extract_arrays_stream(pending, cfg: Config, cancelled=None):
+    """Single-process streaming extraction: per-chunk host pad + upload +
+    SIFT dispatch, consuming decoded images as their futures complete.
+    The decode pool keeps working while earlier chunks run on device, so
+    the pipeline pays max(decode, SIFT) instead of their sum."""
+    K = cfg.sift_max_features()
+    n = len(pending)
+    Hm = max(d[0] for d in pending.dims)
+    Wm = max(d[1] for d in pending.dims)
+    Hp = (Hm + 7) // 8 * 8
+    Wp = (Wm + 7) // 8 * 8
+    G = _sift_chunk_size(n, Hp, Wp, cfg)
+    if n >= 6:
+        # >=3 chunks so the first dispatch starts after only G decodes
+        G = min(G, (n + 2) // 3)
+    shape_key = (Hp, Wp, K, cfg.nOctaveLayers)
+
+    hw = np.ones((n, 2), np.int32) * 8
+    for i, d in enumerate(pending.dims):
+        hw[i] = d
+    hw_d = jnp.asarray(hw)
+
+    srcs: dict = {}          # chunk start -> device (G, Hp, Wp, 3) uint8
+
+    def upload_chunk(s, G):
+        if s in srcs and srcs[s].shape[0] == G:
+            return srcs[s]
+        ids = list(range(s, min(s + G, n)))
+        blk = np.zeros((G, Hp, Wp, 3), np.uint8)
+        for k, i in enumerate(ids):
+            im = pending.get(i)
+            blk[k] = np.pad(im, ((0, Hp - im.shape[0]),
+                                 (0, Wp - im.shape[1]), (0, 0)),
+                            mode="edge")
+        srcs[s] = jnp.asarray(blk)
+        return srcs[s]
+
+    def dispatch_all(G):
+        outs = []
+        for s in range(0, n, G):
+            if cancelled is not None and cancelled():
+                raise RuntimeError("Process canceled")
+            bb = upload_chunk(s, G)
+            pad = G - min(G, n - s)
+            hb = hw_d[s:s + G]
+            if pad:
+                hb = jnp.pad(hb, ((0, pad), (0, 0)), constant_values=8)
+            outs.append(extract_sift_batch(
+                bb, hb, max_kp=K, n_layers=cfg.nOctaveLayers,
+                contrast_thresh=float(cfg.contrastThreshold),
+                edge_thresh=float(cfg.edgeThreshold),
+                sigma=float(cfg.sigma_sift)))
+        return outs
+
+    while True:
+        try:
+            outs = dispatch_all(G)
+            break
+        except Exception as e:  # jax runtime compile OOM
+            if "Ran out of memory" not in str(e) or G <= 1:
+                raise
+            srcs.clear()
+            G = max(1, G // 2)
+    _SIFT_CHUNK_CACHE[shape_key] = G
+    if len(outs) == 1:
+        fb = outs[0]
+    else:
+        fb = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    device_images = (srcs[0] if len(srcs) == 1 else
+                     jnp.concatenate([srcs[s] for s in
+                                      sorted(srcs)]))[:n]
+    hw_full = jnp.pad(hw_d, ((0, fb.xy.shape[0] - n), (0, 0)),
+                      constant_values=8) if fb.xy.shape[0] > n else hw_d
+    return (_shift_and_trim(fb.xy, fb.size, fb.response, fb.desc,
+                            fb.valid, hw_full, n), device_images)
 
 
 def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
@@ -159,19 +273,14 @@ def _extract_arrays(images: Sequence[np.ndarray], cfg: Config,
     # estimate). Chunk the batch to a budget using the MEASURED per-image
     # factor — per-chunk shapes are identical, so it is still ONE
     # compiled program, dispatched ceil(n/G) times with no host sync.
-    per_img = Hp * Wp * (cfg.nOctaveLayers + 3) * 550
-    budget = int(os.environ.get("SPT_SIFT_MEM_BUDGET", 9_000_000_000))
     # cap 8 and self-tune downward: at some (batch, H, W) shapes XLA
     # assigns the batched pyramid temporaries a batch-minor layout whose
     # (8,128) tile padding explodes compile-time HBM ~10-20x past the
     # estimate (observed 32 GB for a 14-image batch of 400-px images, 22
     # GB for 8). Such a failure is a compile-time OOM, so it is caught
     # and the chunk halved; the working size is remembered per shape.
-    G = max(1, min(nb, 8, budget // max(1, per_img)))
-    if mesh is not None:
-        G = max(mesh.size, G // mesh.size * mesh.size)
+    G = _sift_chunk_size(nb, Hp, Wp, cfg, mesh)
     shape_key = (Hp, Wp, K, cfg.nOctaveLayers)
-    G = min(G, _SIFT_CHUNK_CACHE.get(shape_key, G))
 
     def dispatch_all(G):
         outs = []

@@ -43,16 +43,70 @@ def normalize_2d(pts: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _cholesky_solve_unrolled(A: jnp.ndarray, b: jnp.ndarray,
+                             n: int = 8) -> jnp.ndarray:
+    """Solve SPD A x = b by a fully unrolled scalar Cholesky.
+
+    Written in scalar form on purpose: under vmap every operation
+    becomes a fused elementwise op over the hypothesis batch on the VPU.
+    The batched-LU `jnp.linalg.solve` this replaces lowers to a
+    serialized panel loop with dynamic slicing — measured as the
+    dominant cost of the whole RANSAC verify kernel (48k tiny solves
+    per pair chunk)."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _similarity_inv(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of the conditioning matrix
+    [[a,0,c],[0,d,e],[0,0,1]] (normalize_2d's shape)."""
+    a, c, d, e = T[0, 0], T[0, 2], T[1, 1], T[1, 2]
+    ia = 1.0 / a
+    id_ = 1.0 / d
+    z = jnp.zeros(())
+    o = jnp.ones(())
+    return jnp.stack([
+        jnp.stack([ia, z, -c * ia]),
+        jnp.stack([z, id_, -e * id_]),
+        jnp.stack([z, z, o])])
+
+
 def dlt_homography(query: jnp.ndarray, train: jnp.ndarray) -> jnp.ndarray:
     """Normalized DLT from >=4 correspondences: H maps train -> query.
 
     Conditioning makes H' close to a similarity, so its (2,2) entry is
     generically nonzero; we pin h'_22 = 1 and solve the inhomogeneous
-    2n x 8 system by normal equations (8x8 solve — batchable on the MXU,
-    and much better f32 conditioning than an eigendecomposition of A^T A).
-    Exact for the 4-point minimal sample; least-squares for n > 4. Then
-    decondition H = T_q^-1 H' T_t (decondition_homography2D,
-    _homography.cpp:71-77).
+    2n x 8 system by normal equations (8x8 unrolled Cholesky — every op
+    elementwise over the vmapped hypothesis batch, and much better f32
+    conditioning than an eigendecomposition of A^T A). Exact for the
+    4-point minimal sample; least-squares for n > 4. Then decondition
+    H = T_q^-1 H' T_t (decondition_homography2D, _homography.cpp:71-77).
     """
     Tq = normalize_2d(query)
     Tt = normalize_2d(train)
@@ -71,9 +125,9 @@ def dlt_homography(query: jnp.ndarray, train: jnp.ndarray) -> jnp.ndarray:
     A = jnp.concatenate([rx, ry], axis=0)          # (2n, 8)
     b = jnp.concatenate([q[:, 0], q[:, 1]], axis=0)  # (2n,)
     AtA = A.T @ A + 1e-12 * jnp.eye(8)
-    h8 = jnp.linalg.solve(AtA, A.T @ b)
+    h8 = _cholesky_solve_unrolled(AtA, A.T @ b, 8)
     Hc = jnp.concatenate([h8, jnp.ones((1,))]).reshape(3, 3)
-    H = jnp.linalg.solve(Tq, Hc) @ Tt
+    H = _similarity_inv(Tq) @ Hc @ Tt
     return H
 
 
@@ -134,10 +188,19 @@ def ransac_homography(query: jnp.ndarray,
     matching find_homography's fallback (_homography.cpp:10-13).
     """
     M = query.shape[0]
-    # sample 4 distinct valid indices per hypothesis: top-4 of masked uniforms
+    # sample 4 distinct valid indices per hypothesis: top-4 of masked
+    # uniforms, taken as 4 successive argmax passes — bit-identical to
+    # lax.top_k (same descending order, same first-occurrence ties) but
+    # avoids the per-row sort top_k lowers to on TPU
     gumbel = jax.random.uniform(key, (n_iter, M))
     gumbel = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(gumbel, 4)  # (n_iter, 4)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_iter, M), 1)
+    picks = []
+    for _ in range(4):
+        a = jnp.argmax(gumbel, axis=1)
+        picks.append(a)
+        gumbel = jnp.where(iota == a[:, None], -jnp.inf, gumbel)
+    sample_idx = jnp.stack(picks, axis=1)     # (n_iter, 4)
 
     q4 = query[sample_idx]   # (n_iter, 4, 2)
     t4 = train[sample_idx]

@@ -78,7 +78,9 @@ class Panorama:
         self.stitch_params = None    # post-BA compositing state
         self.config: Optional[Config] = None
         self._full_pano: Optional[np.ndarray] = None
-        self._full_prefetch = None   # (thread, result-dict)
+        # (params, thread, result-dict, cancel-event) of the in-flight
+        # background full-res prefetch; see _start_full_prefetch
+        self._full_prefetch = None
         self.connected = (0, 0)      # (n_connected, n_total)
 
     def cancel(self) -> None:
@@ -95,25 +97,38 @@ class Panorama:
         params, images = self.stitch_params, self.images
         if params is None:
             return
+        # cancel any stale in-flight prefetch before starting another so
+        # two decodes never run concurrently (transient 2x host RAM/HBM)
+        if self._full_prefetch is not None:
+            self._full_prefetch[3].set()
         res = params.res
         connected = [False] * len(images.loaded)
         for g in res.nodes:
             connected[g] = True
         threads = self.config.threads if self.config else 4
         out: dict = {}
+        cancel = threading.Event()
 
         def work():
             try:
                 full = images.load_connected_images(connected, threads)
+                if cancel.is_set():
+                    return
                 comp_full = [full[g] for g in res.nodes]
                 out["full"] = comp_full
+                if cancel.is_set():
+                    return
                 out["stack"] = prefetch_sources(params, comp_full)
-            except Exception:       # fall back to the synchronous path
-                out.clear()
+            except Exception as e:  # fall back to the synchronous path
+                import logging
+                logging.getLogger(__name__).debug(
+                    "full-res prefetch failed (synchronous fallback): %s",
+                    e)
+                out.pop("stack", None)
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
-        self._full_prefetch = (params, t, out)
+        self._full_prefetch = (params, t, out, cancel)
 
     # Full implementation lands with the end-to-end milestone; see
     # simplepanorama_tpu/stitcher.py for the staged pipeline functions.
@@ -196,12 +211,17 @@ class Panorama:
         if self._full_pano is None:
             pre = self._full_prefetch
             if pre is not None and pre[0].res is self.stitch_params.res:
-                _, t, out = pre
+                _, t, out, _cancel = pre
                 t.join()
                 if "full" in out:
                     self._full_pano = stitcher.render_full(
                         self.stitch_params, self.config, out["full"],
                         src_stack=out.get("stack"))
+                # release the prefetched host images + device stack
+                # (m*Hs*Ws*3 bytes of HBM) now that the render consumed
+                # them — the cached _full_pano serves later calls
+                out.clear()
+                self._full_prefetch = None
             if self._full_pano is None:
                 self._full_pano = stitcher.render_full_from_imageset(
                     self.stitch_params, self.config, self.images)

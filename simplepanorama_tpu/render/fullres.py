@@ -454,12 +454,19 @@ def render_full_dev(params, cfg: Config,
         return _fetch_slabs(out)
 
     # ---- single-device streaming ----
-    per_img = (Hs * Ws * (3 + 16)               # uint8 source + packed nbr
-               + out_h * out_w * 4 * (3 + 1 + 1)    # block + mask + seam
-               + out_h * out_w * 4 * 12)        # blur/contribution temps
-    G = int(max(1, min(m, _CHUNK_BUDGET // max(1, per_img))))
     if src_stack is not None and tuple(src_stack.shape) != (m, Hs, Ws, 3):
         src_stack = None                        # stale prefetch; re-upload
+    # MULTI materializes every band level of the 4-channel blurred batch
+    # simultaneously (~16*(bands+1) B/px) on top of the 16 B/px source
+    # concat; NO/SIMPLE stay near the flat 12 B/px estimate
+    temps = 4 * (4 * (cfg.bands + 1) + 4) if method == "MULTI" else 4 * 12
+    per_img = (Hs * Ws * (3 + 16)               # uint8 source + packed nbr
+               + out_h * out_w * 4 * (3 + 1 + 1)    # block + mask + seam
+               + out_h * out_w * temps)         # blur/contribution temps
+    # a prefetched device-resident source stack counts against the budget
+    budget = _CHUNK_BUDGET - (src_stack.nbytes if src_stack is not None
+                              else 0)
+    G = int(max(1, min(m, max(1, budget) // max(1, per_img))))
     if src_stack is None and m >= 4:
         # >=2 chunks so later host->device uploads overlap earlier chunks'
         # compute (a prefetched stack is already device-resident)

@@ -373,16 +373,29 @@ def run_pipeline(images, cfg: Config, progress=None, cancel_token=None):
     if progress is not None:
         progress.set(0.0, "Calculating Keypoints...")
     with stage("load"):
-        images.load_resized(cfg.init_size, cfg.threads)
-    n_total = len(images.img_data)
+        # streaming decode: the pool starts here, SIFT chunks consume
+        # images as they complete (features._extract_arrays_stream), so
+        # decode overlaps device compute instead of serializing in front
+        # of it (the reference's lazy load, _image.cpp:29-73, never pays
+        # decode serially either)
+        pending = images.load_resized_stream(cfg.init_size, cfg.threads)
+        if pending is not None and images.img_data:
+            # mixed state (some images already loaded): materialize
+            pending.finalize()
+            pending = None
+    n_total = len(images.img_data) if pending is None else len(pending)
     if n_total < 2:
+        if pending is not None:
+            pending.finalize()
         raise RuntimeError("Need at least two images")
 
     with stage("keypoints"):
         feats = extract_features(
-            images.img_data, cfg,
+            pending if pending is not None else images.img_data, cfg,
             progress=lambda d: prog(d / 6.0),
             cancelled=cancelled)
+    if pending is not None:       # no-op if extraction already finalized
+        pending.finalize()
 
     if progress is not None:
         progress.set(1 / 6, "Matching Images...")

@@ -49,6 +49,45 @@ def rng():
     return np.random.default_rng(0)
 
 
+def _stitch_once(pattern, init_size, ransac=500):
+    import glob
+    from simplepanorama_tpu import Panorama, Config
+    cfg = Config()
+    cfg.init_size = init_size
+    cfg.RANSAC_iterations = ransac
+    p = Panorama(sorted(glob.glob(pattern)))
+    p.stitch(cfg)
+    return p
+
+
+@pytest.fixture(scope="session")
+def map_stitched():
+    """map stitched once per session (init 400, RANSAC 500, defaults).
+    Tests needing a different COMPOSITING config must reuse only
+    `.result` via `reuse_stitch` — never mutate this object."""
+    return _stitch_once(f"{REFERENCE}/results/map/budapest*.jpg", 400)
+
+
+@pytest.fixture(scope="session")
+def fkh_stitched():
+    """FKH360 stitched once per session (init 300, RANSAC 500,
+    defaults). Same reuse rules as map_stitched."""
+    return _stitch_once(f"{REFERENCE}/results/FKH360/resized*.jpg", 300)
+
+
+def reuse_stitch(pano, cfg):
+    """New Panorama sharing ``pano``'s images + BA result, composited
+    under ``cfg`` — the public set_config/from_state contract (features/
+    matching/BA are settings-independent), used to keep the golden tier
+    inside a CI window (VERDICT r4 item 8)."""
+    from simplepanorama_tpu import Panorama
+    p2 = Panorama(list(pano.images.f_list))
+    p2.images = pano.images
+    p2.result = pano.result
+    p2.set_config(cfg)
+    return p2
+
+
 def ncc_aligned(out, ref_path, max_vshift=0.25, circular=False):
     """NCC of a panorama vs a golden JPG, aspect-preserving: the reference
     outputs are hand-cropped, so resize the golden to the output's width

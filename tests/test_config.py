@@ -86,12 +86,13 @@ def test_bench_comm_accounting_shape():
         "bench", pathlib.Path(__file__).parent.parent / "bench.py")
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    seqs = {"map": {"stages_s": {
+    seqs = {"map": {"images": 6, "preview_shape": [709, 1396],
+                    "stages_s": {
         "keypoints": 0.5, "matching": 0.25, "bundle_adjust": 0.28,
         "render_preview": 0.2, "compositing": 0.18, "warp": 0.1,
         "equalize": 0.03, "dist_cut": 0.03, "load": 0.05}}}
     acc = bench.bench_comm_accounting(seqs)
-    per = acc["per_mesh"]
+    per = acc["per_sequence"]["map"]["per_mesh"]
     assert set(per) == {"2_chips", "4_chips", "8_chips"}
     effs = [per[k]["forecast_efficiency"] for k in
             ("2_chips", "4_chips", "8_chips")]
@@ -99,4 +100,8 @@ def test_bench_comm_accounting_shape():
     assert effs[0] >= effs[1] >= effs[2]      # Amdahl monotonicity
     for k in per:
         assert per[k]["collective_bytes"]["bundle_adjust"] > 0
-        assert per[k]["collective_bytes"]["blend"] > 0
+        # blend collectives charged to the stage that runs them
+        # (VERDICT r4 item 6: the old standalone `blend` key matched no
+        # measured stage and its bytes were silently dropped)
+        assert per[k]["collective_bytes"]["compositing"] > 0
+    assert acc["per_sequence"]["map"]["amdahl_ceiling_efficiency"]

@@ -8,17 +8,12 @@ import pytest
 
 
 @pytest.mark.slow
-def test_map_sequence_stitches():
+def test_map_sequence_stitches(map_stitched):
     """The 6-image map sequence must fully connect and produce a panorama
     with the reference output's aspect ratio (map.jpg is 1152x2272 ->
-    0.507)."""
-    from simplepanorama_tpu import Panorama, Config
-    paths = sorted(glob.glob("/root/reference/results/map/budapest*.jpg"))
-    cfg = Config()
-    cfg.init_size = 400          # keep CPU CI fast; geometry is scale-free
-    cfg.RANSAC_iterations = 500
-    p = Panorama(paths)
-    p.stitch(cfg)
+    0.507). Stitched once per session (conftest.map_stitched: init 400,
+    RANSAC 500 — geometry is scale-free; keeps CPU CI fast)."""
+    p = map_stitched
     assert p.connected == (6, 6)
     prev = p.get_preview()
     h, w = prev.shape[:2]
