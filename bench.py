@@ -193,6 +193,7 @@ def bench_lm_iters():
         q=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         t=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         m_valid=jnp.ones(M, bool))
+    data = ba.with_pair_tables(data)
     cams = ba.CamState(
         focal=jnp.full((N,), 700.0), ppal=jnp.zeros((N, 2)),
         rotvec=jnp.asarray(
@@ -415,6 +416,7 @@ def bench_mfu():
         q=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         t=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         m_valid=jnp.ones(M, bool))
+    data = ba.with_pair_tables(data)
     cams = ba.CamState(
         focal=jnp.full((N,), 700.0), ppal=jnp.zeros((N, 2)),
         rotvec=jnp.asarray(rng.normal(0, 0.05, (N, 3)).astype(np.float32)),

@@ -48,6 +48,7 @@ ONE compiled LM program serves every node-addition step of the driver.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -59,14 +60,32 @@ from simplepanorama_tpu.geometry.rotation import rodrigues
 _AUG_FOCAL = 1e-3
 _AUG_ANG = float(np.pi / 16.0)
 
+# Experimental: per-match Jacobian streams (Jd/W/Z) in bf16 with f32
+# MXU accumulation (SPT_BA_PRECISION=bf16). Measured on the real FKH360
+# BA it saved only ~2% (the iteration is op-chain-latency-bound, not
+# bandwidth-bound at these sizes), so full f32 stays the default — the
+# residual/error path is f32 either way.
+_BF16 = os.environ.get("SPT_BA_PRECISION", "f32") == "bf16"
+
 
 class BAData(NamedTuple):
-    """Static match tables (device arrays, fixed capacity M)."""
+    """Static match tables (device arrays, fixed capacity M).
+
+    The optional realized-pair tables (pi, pj, mp) let the H / dH-dcam
+    chains run once per REALIZED camera pair (P ~ 3N for panorama
+    graphs, padded to 64) instead of once per ordered pair (N^2): the
+    per-iteration Rodrigues+jacfwd table build was ~25% of the LM
+    iteration at production capacity. When absent (None), the dense N^2
+    table is built as before — numerics are identical either way (same
+    per-pair math, gathered per match)."""
     mi: jnp.ndarray       # (M,) i32 query-image index (image of q)
     mj: jnp.ndarray       # (M,) i32 train-image index (image of t)
     q: jnp.ndarray        # (M, 2) query keypoint, center-origin
     t: jnp.ndarray        # (M, 2) train keypoint, center-origin
     m_valid: jnp.ndarray  # (M,) bool — slot holds a real match
+    pi: jnp.ndarray = None  # (P,) i32 realized-pair query-camera ids
+    pj: jnp.ndarray = None  # (P,) i32 realized-pair train-camera ids
+    mp: jnp.ndarray = None  # (M,) i32 pair-table row of each match
 
 
 class CamState(NamedTuple):
@@ -129,17 +148,21 @@ def _cam6(cams: CamState):
     return jnp.concatenate([cams.focal[:, None], cams.ppal, cams.rotvec], -1)
 
 
-def _pair_H_table(c6, N):
-    """(N*N, 3, 3) homography table over all ordered camera pairs.
-
-    The residual depends on cameras only through H(i, j): computing the
-    rotation/intrinsics chain once per PAIR (<= N^2 ~ 1.3k) instead of
-    once per MATCH (~20k) is the difference between the Jacobian stage
-    being VPU-bound on per-match Rodrigues evaluations and being a
-    near-free table build + 9-float gathers."""
-    ii = jnp.repeat(jnp.arange(N), N)
-    jj = jnp.tile(jnp.arange(N), N)
-    return jax.vmap(_pair_H)(c6[ii], c6[jj])
+def with_pair_tables(data: BAData) -> BAData:
+    """Attach realized-pair tables computed host-side from mi/mj (for
+    synthetic benchmark/test problems; stitch.build_ba_data builds them
+    in production)."""
+    mi = np.asarray(data.mi)
+    mj = np.asarray(data.mj)
+    uniq, inv = np.unique(np.stack([mi, mj], 1), axis=0,
+                          return_inverse=True)
+    P = max(64, (len(uniq) + 63) // 64 * 64)
+    pi = np.zeros(P, np.int32)
+    pj = np.zeros(P, np.int32)
+    pi[:len(uniq)] = uniq[:, 0]
+    pj[:len(uniq)] = uniq[:, 1]
+    return data._replace(pi=jnp.asarray(pi), pj=jnp.asarray(pj),
+                         mp=jnp.asarray(inv.astype(np.int32)))
 
 
 def _match_geometry(Hm, b):
@@ -168,13 +191,31 @@ def _match_geometry(Hm, b):
     return bh, p2, Jp
 
 
+def _pair_tables(data: BAData, c6, N, with_jac: bool):
+    """(H table, optional (dH/dcam_i, dH/dcam_j) tables, per-match row
+    index): over the realized pairs when data carries them, else over
+    all N^2 ordered pairs."""
+    if data.pi is not None:
+        ci, cj = c6[data.pi], c6[data.pj]
+        pid = data.mp
+    else:
+        ii = jnp.repeat(jnp.arange(N), N)
+        jj = jnp.tile(jnp.arange(N), N)
+        ci, cj = c6[ii], c6[jj]
+        pid = data.mi * N + data.mj
+    Ht = jax.vmap(_pair_H)(ci, cj)
+    jac = jax.vmap(_pair_H_jac)(ci, cj) if with_jac else None
+    return Ht, jac, pid
+
+
 def residuals(cams: CamState, data: BAData, active_m: jnp.ndarray,
               fast: bool) -> jnp.ndarray:
     """(M, 4) residuals, zeroed on inactive slots."""
     N = cams.focal.shape[0]
     c6 = _cam6(cams)
     b = data.t if fast else cams.b
-    Hm = _pair_H_table(c6, N)[data.mi * N + data.mj]
+    Ht, _, pid = _pair_tables(data, c6, N, with_jac=False)
+    Hm = Ht[pid]
     _, p2, _ = _match_geometry(Hm, b)
     r = jnp.concatenate([data.t - b, data.q - p2], -1)
     return jnp.where(active_m[:, None], r, 0.0)
@@ -230,11 +271,7 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     HI = jax.lax.Precision.HIGHEST   # keep f32 accumulation on the MXU
     c6 = _cam6(cams)
     b = data.t if fast else cams.b
-    ii = jnp.repeat(jnp.arange(N), N)
-    jj = jnp.tile(jnp.arange(N), N)
-    Ht = jax.vmap(_pair_H)(c6[ii], c6[jj])              # (N^2,3,3)
-    Dit, Djt = jax.vmap(_pair_H_jac)(c6[ii], c6[jj])    # (N^2,3,3,6)
-    pid = data.mi * N + data.mj
+    Ht, (Dit, Djt), pid = _pair_tables(data, c6, N, with_jac=True)
     Hm = Ht[pid]
     bh, p2, Jp = _match_geometry(Hm, b)
     r = jnp.concatenate([data.t - b, data.q - p2], -1)
@@ -261,13 +298,24 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     Jd = (Pi[:, None, :, None] * Ai23[:, :, None, :]
           + Pj[:, None, :, None] * Aj23[:, :, None, :])  # (M, 2, N, 6)
     Jd = Jd.reshape(-1, 2, 6 * N)
+    if _BF16:
+        Jd = Jd.astype(jnp.bfloat16)
 
-    U = jnp.einsum("mra,mrb->ab", Jd, Jd, precision=HI)
+    def ein(spec, a, b):
+        """Contraction with f32 accumulation regardless of operand dtype
+        (bf16 operands hit the MXU's native path; f32 keeps HIGHEST)."""
+        if _BF16:
+            return jnp.einsum(spec, a, b if b.dtype == a.dtype
+                              else b.astype(a.dtype),
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum(spec, a, b, precision=HI)
+
+    U = ein("mra,mrb->ab", Jd, Jd)
 
     # gradient with the Gauss-Newton sign: we differentiate the RESIDUAL
     # r = meas - model, so the step solves (J^T J + lam D) d = -J^T r
     # (the reference differentiates the model, absorbing the minus)
-    eA = -jnp.einsum("mra,mr->a", Jd, r[:, 2:], precision=HI)
+    eA = -ein("mra,mr->a", Jd, r[:, 2:])
 
     if psum_axis is not None:
         # THE collective: partial normal equations -> global camera system
@@ -287,7 +335,14 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     else:
         V = (B[:, :, :, None] * B[:, :, None, :]).sum(1)   # (M,2,2)
         eB = -(B * r[:, :, None]).sum(1)                   # (M,2)
-        W = (Jd[:, :, :, None] * B[:, 2:, None, :]).sum(1)  # (M,6N,2)
+        # W = Jd^T B (projected rows only) written as 4 elementwise
+        # (M, 6N) products — the broadcast form materializes a
+        # (M, 2, 6N, 2) intermediate (~160 MB at production capacity)
+        Bc = B.astype(Jd.dtype)
+        W = jnp.stack(
+            [Jd[:, 0, :] * Bc[:, 2, 0, None] + Jd[:, 1, :] * Bc[:, 3, 0, None],
+             Jd[:, 0, :] * Bc[:, 2, 1, None] + Jd[:, 1, :] * Bc[:, 3, 1, None]],
+            axis=-1)                                       # (M,6N,2)
         # V augment: reference quirk — scale by the LAST active camera's
         # focal (the augment loop variable's final value; prep_opt sorts
         # its subproblem indices, so "last" = highest original local
@@ -307,9 +362,25 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
             jnp.stack([-Va[:, 1, 0], Va[:, 0, 0]], -1)], -2) / det[:, None, None]
         Vinv = jnp.where(active_m[:, None, None], Vinv, 0.0)
 
-        Y = (W[:, :, :, None] * Vinv[:, None, :, :]).sum(2)  # (M,6N,2)
-        YW = jnp.einsum("mac,mbc->ab", Y, W, precision=HI)
-        yeb = (Y * eB[:, None, :]).sum((0, 2))
+        # YW = sum_m W V^-1 W^T via the closed-form 2x2 Cholesky of the
+        # (symmetric PSD) V^-1: YW = Z^T Z with Z = W L built from pure
+        # elementwise products — the Y = W V^-1 broadcast form
+        # materialized a (M, 6N, 2, 2) intermediate (~314 MB at
+        # production capacity) and dominated the whole assemble
+        l00 = jnp.sqrt(jnp.maximum(Vinv[:, 0, 0], 0.0))
+        safe = jnp.where(l00 > 0.0, l00, 1.0)
+        l10 = Vinv[:, 1, 0] / safe
+        l11 = jnp.sqrt(jnp.maximum(Vinv[:, 1, 1] - l10 * l10, 0.0))
+        cast = (lambda x: x.astype(W.dtype))
+        Z0 = W[:, :, 0] * cast(l00)[:, None] \
+            + W[:, :, 1] * cast(l10)[:, None]
+        Z1 = W[:, :, 1] * cast(l11)[:, None]                # (M,6N)
+        YW = ein("ma,mb->ab", Z0, Z0) + ein("ma,mb->ab", Z1, Z1)
+        # yeb = sum_m W (V^-1 eB): g = V^-1 eB is elementwise per match
+        g0 = Vinv[:, 0, 0] * eB[:, 0] + Vinv[:, 0, 1] * eB[:, 1]
+        g1 = Vinv[:, 1, 0] * eB[:, 0] + Vinv[:, 1, 1] * eB[:, 1]
+        yeb = (ein("ma,m->a", W[:, :, 0], g0)
+               + ein("ma,m->a", W[:, :, 1], g1))
         if psum_axis is not None:
             YW = jax.lax.psum(YW, psum_axis)
             yeb = jax.lax.psum(yeb, psum_axis)

@@ -37,10 +37,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from simplepanorama_tpu import ba
 
 
-def _specs(axis: str):
+def _specs(axis: str, has_pairs: bool = False):
     sharded, rep = P(axis), P()
     data_specs = ba.BAData(mi=sharded, mj=sharded, q=sharded, t=sharded,
-                           m_valid=sharded)
+                           m_valid=sharded,
+                           # realized-pair tables: tiny, replicated; mp
+                           # rides the match axis (None when absent so
+                           # the spec pytree matches the data pytree)
+                           pi=rep if has_pairs else None,
+                           pj=rep if has_pairs else None,
+                           mp=sharded if has_pairs else None)
     cam_specs = ba.CamState(focal=rep, ppal=rep, rotvec=rep, b=sharded)
     return data_specs, cam_specs, rep
 
@@ -56,7 +62,15 @@ def lm_run_sharded(cams: ba.CamState, data: ba.BAData,
     """
     msh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    data_s = jax.tree.map(lambda x: jax.device_put(x, msh), data)
+    put_m = lambda x: jax.device_put(x, msh) if x is not None else None
+    data_s = ba.BAData(mi=put_m(data.mi), mj=put_m(data.mj),
+                       q=put_m(data.q), t=put_m(data.t),
+                       m_valid=put_m(data.m_valid),
+                       pi=None if data.pi is None
+                       else jax.device_put(data.pi, rep),
+                       pj=None if data.pj is None
+                       else jax.device_put(data.pj, rep),
+                       mp=put_m(data.mp))
     cams_r = jax.tree.map(lambda x: jax.device_put(x, rep), cams)
     # b rides the match axis: shard it like the data
     cams_r = cams_r._replace(b=jax.device_put(cams.b, msh))
@@ -73,7 +87,7 @@ def lm_run_shard_map(cams: ba.CamState, data: ba.BAData,
     shard_map program with explicit psum collectives, for either
     objective. Match tables and cams.b must be shardable by ``axis``
     (pad M to a multiple of the axis size)."""
-    data_specs, cam_specs, rep = _specs(axis)
+    data_specs, cam_specs, rep = _specs(axis, data.pi is not None)
     out_specs = ba.LMResult(cams=cam_specs, error=rep, lam=rep,
                             n_accepted=rep, n_iter=rep)
     body = functools.partial(ba.lm_run_impl, fast=fast, max_iter=max_iter,

@@ -117,15 +117,30 @@ def build_ba_data(comp: Component, adjres: Adjacency,
     q_a = np.zeros((cap, 2), np.float32)
     t_a = np.zeros((cap, 2), np.float32)
     valid = np.zeros(cap, bool)
+    # realized-pair tables (ba.BAData.pi/pj/mp): H and dH/dcam chains run
+    # once per realized pair (~3N) instead of per ordered pair (N^2)
+    mp_a = np.zeros(cap, np.int32)
     if M:
         mi_a[:M] = mi_np
         mj_a[:M] = mj_np
         q_a[:M] = q_np
         t_a[:M] = t_np
         valid[:M] = True
+        uniq, inv_rows = np.unique(np.stack([mi_np, mj_np], 1), axis=0,
+                                   return_inverse=True)
+        mp_a[:M] = inv_rows
+    else:
+        uniq = np.zeros((0, 2), np.int32)
+    P = max(64, _round_up(len(uniq), 64))
+    pi_a = np.zeros(P, np.int32)
+    pj_a = np.zeros(P, np.int32)
+    pi_a[:len(uniq)] = uniq[:, 0]
+    pj_a[:len(uniq)] = uniq[:, 1]
     data = ba.BAData(mi=jnp.asarray(mi_a), mj=jnp.asarray(mj_a),
                      q=jnp.asarray(q_a), t=jnp.asarray(t_a),
-                     m_valid=jnp.asarray(valid))
+                     m_valid=jnp.asarray(valid),
+                     pi=jnp.asarray(pi_a), pj=jnp.asarray(pj_a),
+                     mp=jnp.asarray(mp_a))
     return data, prefix
 
 
@@ -203,7 +218,12 @@ def _incremental_lm_bucketed(cams0: ba.CamState, active0, data: ba.BAData,
     """
     sl = lambda x: x[:m_cap]
     data_c = ba.BAData(mi=sl(data.mi), mj=sl(data.mj), q=sl(data.q),
-                       t=sl(data.t), m_valid=sl(data.m_valid))
+                       t=sl(data.t), m_valid=sl(data.m_valid),
+                       # realized-pair tables stay full-size (pair rows
+                       # of not-yet-active cameras are gather-clamped
+                       # and masked via active_m)
+                       pi=data.pi, pj=data.pj,
+                       mp=sl(data.mp) if data.mp is not None else None)
     cams_c = ba.CamState(focal=cams0.focal[:n_cap], ppal=cams0.ppal[:n_cap],
                          rotvec=cams0.rotvec[:n_cap], b=sl(cams0.b))
     active_c = active0[:n_cap]
@@ -355,7 +375,14 @@ def bundle_adjust_stitching(comp: Component,
                     return multihost_utils.host_local_array_to_global_array(
                         np.asarray(x), gmesh, P())
 
-                data = jax.tree.map(shard_g, data)
+                data = ba.BAData(
+                    mi=shard_g(data.mi), mj=shard_g(data.mj),
+                    q=shard_g(data.q), t=shard_g(data.t),
+                    m_valid=shard_g(data.m_valid),
+                    # pair tables are tiny and replicated; mp rides the
+                    # match axis like the other per-match tables
+                    pi=rep_g(data.pi), pj=rep_g(data.pj),
+                    mp=shard_g(data.mp))
                 cams0 = ba.CamState(
                     focal=rep_g(cams0.focal), ppal=rep_g(cams0.ppal),
                     rotvec=rep_g(cams0.rotvec), b=shard_g(cams0.b))
@@ -367,7 +394,14 @@ def bundle_adjust_stitching(comp: Component,
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 msh = NamedSharding(mesh, P("data"))
                 rep = NamedSharding(mesh, P())
-                data = jax.tree.map(lambda x: jax.device_put(x, msh), data)
+                put_m = lambda x: jax.device_put(x, msh)
+                data = ba.BAData(
+                    mi=put_m(data.mi), mj=put_m(data.mj),
+                    q=put_m(data.q), t=put_m(data.t),
+                    m_valid=put_m(data.m_valid),
+                    pi=jax.device_put(data.pi, rep),
+                    pj=jax.device_put(data.pj, rep),
+                    mp=put_m(data.mp))
                 cams0 = ba.CamState(
                     focal=jax.device_put(cams0.focal, rep),
                     ppal=jax.device_put(cams0.ppal, rep),

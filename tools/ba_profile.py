@@ -27,6 +27,7 @@ def make_problem(N, M, seed=0):
         q=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         t=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
         m_valid=jnp.ones(M, bool))
+    data = ba.with_pair_tables(data)
     cams = ba.CamState(
         focal=jnp.full((N,), 700.0), ppal=jnp.zeros((N, 2)),
         rotvec=jnp.asarray(
