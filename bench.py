@@ -178,28 +178,69 @@ def bench_one_sequence(name, repeats=3, with_stages=True):
     return entry
 
 
+def _lm_problem(N, M, seed=0):
+    """Geometrically CONSISTENT synthetic BA problem: cameras on a
+    horizontal ring, matches = ground-truth reprojections between
+    neighbors + 1 px noise, solver started from perturbed cameras. LM
+    then has a real optimum and a stable trial count — a purely random
+    q/t problem is chaotic and its early-stop point (and hence the
+    iters/s metric) flips with any last-bit numeric change."""
+    import numpy as np
+    import jax.numpy as jnp
+    from simplepanorama_tpu import ba
+    rng = np.random.default_rng(seed)
+    f_true = 700.0
+    rot_true = np.zeros((N, 3), np.float32)
+    rot_true[:, 1] = np.arange(N) * 0.35   # ~20 deg apart about y
+    per = M // (N - 1)
+    mi, mj, q, t = [], [], [], []
+
+    def rodr(v):
+        th = np.linalg.norm(v)
+        if th < 1e-12:
+            return np.eye(3)
+        u = v / th
+        Kx = np.array([[0, -u[2], u[1]], [u[2], 0, -u[0]],
+                       [-u[1], u[0], 0]])
+        return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+    Km = np.diag([f_true, f_true, 1.0])
+    Ki = np.diag([1 / f_true, 1 / f_true, 1.0])
+    for i in range(N - 1):
+        H = Km @ rodr(rot_true[i]).T @ rodr(rot_true[i + 1]) @ Ki
+        tt = rng.uniform(-250, 250, (per, 2)).astype(np.float32)
+        ph = (np.concatenate([tt, np.ones((per, 1))], 1) @ H.T)
+        qq = ph[:, :2] / ph[:, 2:3] + rng.normal(0, 1.0, (per, 2))
+        mi.extend([i] * per)
+        mj.extend([i + 1] * per)
+        q.append(qq.astype(np.float32))
+        t.append(tt)
+    m = len(mi)
+    pad = M - m
+    data = ba.BAData(
+        mi=jnp.asarray(np.asarray(mi + [0] * pad, np.int32)),
+        mj=jnp.asarray(np.asarray(mj + [1] * pad, np.int32)),
+        q=jnp.asarray(np.concatenate(q + [np.zeros((pad, 2), np.float32)])),
+        t=jnp.asarray(np.concatenate(t + [np.zeros((pad, 2), np.float32)])),
+        m_valid=jnp.asarray(np.arange(M) < m))
+    data = ba.with_pair_tables(data)
+    cams = ba.CamState(
+        focal=jnp.full((N,), f_true * 0.93),
+        ppal=jnp.zeros((N, 2)),
+        rotvec=jnp.asarray(rot_true
+                           + rng.normal(0, 0.02, (N, 3)).astype(np.float32)
+                           ).at[0].set(0.0),
+        b=data.t)
+    return cams, data, jnp.ones(N, bool)
+
+
 def bench_lm_iters():
     """BA LM iters/s: relaxed objective, production-scale padded problem
     (N=16 cameras, M=4096 matches — a 14-image sequence's capacity)."""
-    import numpy as np
     import jax
-    import jax.numpy as jnp
     from simplepanorama_tpu import ba
-    rng = np.random.default_rng(0)
     N, M = 16, 4096
-    mi = rng.integers(0, N - 1, M).astype(np.int32)
-    data = ba.BAData(
-        mi=jnp.asarray(mi), mj=jnp.asarray((mi + 1).astype(np.int32)),
-        q=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
-        t=jnp.asarray(rng.uniform(-300, 300, (M, 2)).astype(np.float32)),
-        m_valid=jnp.ones(M, bool))
-    data = ba.with_pair_tables(data)
-    cams = ba.CamState(
-        focal=jnp.full((N,), 700.0), ppal=jnp.zeros((N, 2)),
-        rotvec=jnp.asarray(
-            rng.normal(0, 0.05, (N, 3)).astype(np.float32)).at[0].set(0.0),
-        b=data.t)
-    active = jnp.ones(N, bool)
+    cams, data, active = _lm_problem(N, M)
     res = ba.lm_run(cams, data, active, 0.05, fast=False, max_iter=50)
     jax.block_until_ready(res)          # compile
     t0 = time.time()

@@ -190,17 +190,20 @@ class PendingLoad:
         self._imageset = imageset
         self.todo = todo
         self.max_size = max_size
-        self._ex = concurrent.futures.ThreadPoolExecutor(
-            max_workers=max(1, threads))
-        self.futures = [self._ex.submit(load_clamped, p, max_size)
-                        for p in todo]
-        # expected post-clamp dims; None where the header probe failed
-        # (consumers must then block via finalize())
+        # probe BEFORE submitting the decode work: the sequential probe
+        # loop otherwise contends with the pool threads for the GIL and
+        # a few KB of header reads can take 100x longer
+        # (expected post-clamp dims; None where the probe failed —
+        # consumers must then block via finalize())
         self.dims: List[Optional[tuple]] = []
         for p in todo:
             pr = probe_size(p)
             self.dims.append(None if pr is None
                              else _target_dims(pr[0], pr[1], max_size))
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, threads))
+        self.futures = [self._ex.submit(load_clamped, p, max_size)
+                        for p in todo]
 
     def __len__(self) -> int:
         return len(self.todo)

@@ -122,4 +122,8 @@ def ncc_aligned(out, ref_path, max_vshift=0.25, circular=False):
         else:
             v = (a1 * b1).mean()
         best = max(best, float(v))
+    log = os.environ.get("SPT_LOG_NCC")
+    if log:   # gate calibration: record measured scores per golden
+        with open(log, "a") as f:
+            f.write(f"{ref_path} {best:.4f}\n")
     return best
