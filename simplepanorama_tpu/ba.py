@@ -208,6 +208,23 @@ def _pair_tables(data: BAData, c6, N, with_jac: bool):
     return Ht, jac, pid
 
 
+def _expand_rows(table: jnp.ndarray, pid: jnp.ndarray, P: int):
+    """table[pid] for a (P, ...) table, as a one-hot matmul when the
+    table is small (realized-pair tables, P <= 256): XLA lowers the
+    row-gather over M~20k indices to a serialized dynamic-gather on TPU
+    (~0.55 ms per table per LM iteration at production capacity,
+    measured); the (M, P) @ (P, K) one-hot contraction is MXU work and
+    measured ~free. HIGHEST keeps it bit-clean: the one-hot operand's
+    0/1 entries are exact in every bf16 pass, so each output row is the
+    exact f32 table row."""
+    if P > 256:
+        return table[pid]
+    oh = jax.nn.one_hot(pid, P, dtype=table.dtype)
+    flat = table.reshape(P, -1)
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((pid.shape[0],) + table.shape[1:])
+
+
 def residuals(cams: CamState, data: BAData, active_m: jnp.ndarray,
               fast: bool) -> jnp.ndarray:
     """(M, 4) residuals, zeroed on inactive slots."""
@@ -215,7 +232,7 @@ def residuals(cams: CamState, data: BAData, active_m: jnp.ndarray,
     c6 = _cam6(cams)
     b = data.t if fast else cams.b
     Ht, _, pid = _pair_tables(data, c6, N, with_jac=False)
-    Hm = Ht[pid]
+    Hm = _expand_rows(Ht, pid, Ht.shape[0])
     _, p2, _ = _match_geometry(Hm, b)
     r = jnp.concatenate([data.t - b, data.q - p2], -1)
     return jnp.where(active_m[:, None], r, 0.0)
@@ -231,6 +248,26 @@ def total_error(cams: CamState, data: BAData, active_m, fast: bool,
     if psum_axis is not None:
         e = jax.lax.psum(e, psum_axis)
     return e
+
+
+class _JacCache(NamedTuple):
+    """Lambda-independent normal-equation terms of one accepted state.
+
+    The LM trial loop re-solves with a new lambda after a rejection, but
+    the Jacobian (and hence U, eA, W, V, eB) belongs to the ACCEPTED
+    state and is unchanged across consecutive rejected trials — only the
+    diagonal augmentation and the Schur reduction depend on lambda.
+    Caching these (carried in the while_loop state, recomputed under a
+    lax.cond only on accept) removes the full assemble from every
+    rejected trial. U/eA are already psum-reduced in the shard_map path;
+    W/V/eB stay match-shard-local."""
+    U: jnp.ndarray          # (6N, 6N)
+    eA: jnp.ndarray         # (6N,)
+    aug: jnp.ndarray        # (6N,) diagonal augmentation scales
+    focal_last: jnp.ndarray  # scalar, V-augment reference quirk
+    W: jnp.ndarray          # (M, 6N, 2) or U[:0] placeholder in fast mode
+    V: jnp.ndarray          # (M, 2, 2)  or placeholder
+    eB: jnp.ndarray         # (M, 2)     or placeholder
 
 
 def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
@@ -267,20 +304,43 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     reference's async dataflow, _bundle_adjust_main.cpp:192-244, reborn
     as two collectives).
     """
+    cache = _assemble_cache(cams, data, active_m, cam_active, fast,
+                            n_cams, psum_axis=psum_axis, vaug_idx=vaug_idx)
+    S, rhs, Vinv = _schur_solve_system(cache, active_m, lam, cam_active,
+                                       fast, psum_axis=psum_axis)
+    if fast:
+        return S, rhs, None, None, None
+    return S, rhs, Vinv, cache.W, cache.eB
+
+
+def _ein(spec, a, b):
+    """Contraction with f32 accumulation regardless of operand dtype
+    (bf16 operands hit the MXU's native path; f32 keeps HIGHEST)."""
+    if _BF16:
+        return jnp.einsum(spec, a, b if b.dtype == a.dtype
+                          else b.astype(a.dtype),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _assemble_cache(cams: CamState, data: BAData, active_m, cam_active,
+                    fast: bool, n_cams: int, psum_axis=None,
+                    vaug_idx=None) -> _JacCache:
+    """Jacobian-dependent (lambda-independent) half of the assemble."""
     N = n_cams
-    HI = jax.lax.Precision.HIGHEST   # keep f32 accumulation on the MXU
     c6 = _cam6(cams)
     b = data.t if fast else cams.b
     Ht, (Dit, Djt), pid = _pair_tables(data, c6, N, with_jac=True)
-    Hm = Ht[pid]
+    P = Ht.shape[0]
+    Hm = _expand_rows(Ht, pid, P)
     bh, p2, Jp = _match_geometry(Hm, b)
     r = jnp.concatenate([data.t - b, data.q - p2], -1)
     r = jnp.where(active_m[:, None], r, 0.0)
 
     # chain rule: d resid[2:4] / d cam = -Jp . (dH/dcam b)
     # (broadcast-multiply-reduce on purpose — see _match_geometry)
-    dHb_i = (Dit[pid] * bh[:, None, :, None]).sum(2)    # (M,3,6)
-    dHb_j = (Djt[pid] * bh[:, None, :, None]).sum(2)
+    dHb_i = (_expand_rows(Dit, pid, P) * bh[:, None, :, None]).sum(2)
+    dHb_j = (_expand_rows(Djt, pid, P) * bh[:, None, :, None]).sum(2)
     Ai23 = -(Jp[:, :, :, None] * dHb_i[:, None, :, :]).sum(2)  # (M,2,6)
     Aj23 = -(Jp[:, :, :, None] * dHb_j[:, None, :, :]).sum(2)
     B23 = -(Jp[:, :, :, None] * Hm[:, None, :, :2]).sum(2)     # (M,2,2)
@@ -301,21 +361,12 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     if _BF16:
         Jd = Jd.astype(jnp.bfloat16)
 
-    def ein(spec, a, b):
-        """Contraction with f32 accumulation regardless of operand dtype
-        (bf16 operands hit the MXU's native path; f32 keeps HIGHEST)."""
-        if _BF16:
-            return jnp.einsum(spec, a, b if b.dtype == a.dtype
-                              else b.astype(a.dtype),
-                              preferred_element_type=jnp.float32)
-        return jnp.einsum(spec, a, b, precision=HI)
-
-    U = ein("mra,mrb->ab", Jd, Jd)
+    U = _ein("mra,mrb->ab", Jd, Jd)
 
     # gradient with the Gauss-Newton sign: we differentiate the RESIDUAL
     # r = meas - model, so the step solves (J^T J + lam D) d = -J^T r
     # (the reference differentiates the model, absorbing the minus)
-    eA = -ein("mra,mr->a", Jd, r[:, 2:])
+    eA = -_ein("mra,mr->a", Jd, r[:, 2:])
 
     if psum_axis is not None:
         # THE collective: partial normal equations -> global camera system
@@ -327,33 +378,51 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
     aug = jnp.concatenate([
         jnp.repeat(cams.focal[:, None] * _AUG_FOCAL, 3, axis=1),
         jnp.full((N, 3), _AUG_ANG)], axis=1).reshape(-1)
-    U_aug = U + jnp.diag(jnp.diag(U) * lam * aug)
+
+    # V augment focal: reference quirk — the LAST active camera's focal
+    # (the augment loop variable's final value; prep_opt sorts its
+    # subproblem indices, so "last" = highest original local index among
+    # active cameras). ``vaug_idx`` overrides when the caller has
+    # renumbered cameras (stitch.py addition-order bucketing) and
+    # precomputed that camera's new index.
+    if vaug_idx is None:
+        last = jnp.max(jnp.where(cam_active, jnp.arange(N), 0))
+    else:
+        last = vaug_idx
+    focal_last = cams.focal[last]
 
     if fast:
-        S, rhs = U_aug, eA
-        Vinv = W = eB = None
+        return _JacCache(U=U, eA=eA, aug=aug, focal_last=focal_last,
+                         W=jnp.zeros((1, 1, 2), U.dtype),
+                         V=jnp.zeros((1, 2, 2), U.dtype),
+                         eB=jnp.zeros((1, 2), U.dtype))
+
+    V = (B[:, :, :, None] * B[:, :, None, :]).sum(1)   # (M,2,2)
+    eB = -(B * r[:, :, None]).sum(1)                   # (M,2)
+    # W = Jd^T B (projected rows only) written as 4 elementwise
+    # (M, 6N) products — the broadcast form materializes a
+    # (M, 2, 6N, 2) intermediate (~160 MB at production capacity)
+    Bc = B.astype(Jd.dtype)
+    W = jnp.stack(
+        [Jd[:, 0, :] * Bc[:, 2, 0, None] + Jd[:, 1, :] * Bc[:, 3, 0, None],
+         Jd[:, 0, :] * Bc[:, 2, 1, None] + Jd[:, 1, :] * Bc[:, 3, 1, None]],
+        axis=-1)                                       # (M,6N,2)
+    return _JacCache(U=U, eA=eA, aug=aug, focal_last=focal_last,
+                     W=W, V=V, eB=eB)
+
+
+def _schur_solve_system(cache: _JacCache, active_m, lam, cam_active,
+                        fast: bool, psum_axis=None):
+    """Lambda-dependent half: diagonal augmentation, V inverse, Schur
+    reduction. Runs every LM trial; _assemble_cache only on accepts."""
+    U_aug = cache.U + jnp.diag(jnp.diag(cache.U) * lam * cache.aug)
+
+    if fast:
+        S, rhs = U_aug, cache.eA
+        Vinv = None
     else:
-        V = (B[:, :, :, None] * B[:, :, None, :]).sum(1)   # (M,2,2)
-        eB = -(B * r[:, :, None]).sum(1)                   # (M,2)
-        # W = Jd^T B (projected rows only) written as 4 elementwise
-        # (M, 6N) products — the broadcast form materializes a
-        # (M, 2, 6N, 2) intermediate (~160 MB at production capacity)
-        Bc = B.astype(Jd.dtype)
-        W = jnp.stack(
-            [Jd[:, 0, :] * Bc[:, 2, 0, None] + Jd[:, 1, :] * Bc[:, 3, 0, None],
-             Jd[:, 0, :] * Bc[:, 2, 1, None] + Jd[:, 1, :] * Bc[:, 3, 1, None]],
-            axis=-1)                                       # (M,6N,2)
-        # V augment: reference quirk — scale by the LAST active camera's
-        # focal (the augment loop variable's final value; prep_opt sorts
-        # its subproblem indices, so "last" = highest original local
-        # index among active cameras). ``vaug_idx`` overrides when the
-        # caller has renumbered cameras (stitch.py addition-order
-        # bucketing) and precomputed that camera's new index.
-        if vaug_idx is None:
-            last = jnp.max(jnp.where(cam_active, jnp.arange(N), 0))
-        else:
-            last = vaug_idx
-        aug_l = 1.0 + lam * cams.focal[last] * _AUG_FOCAL
+        W, V, eB = cache.W, cache.V, cache.eB
+        aug_l = 1.0 + lam * cache.focal_last * _AUG_FOCAL
         Va = V.at[:, 0, 0].multiply(aug_l).at[:, 1, 1].multiply(aug_l)
         det = Va[:, 0, 0] * Va[:, 1, 1] - Va[:, 0, 1] * Va[:, 1, 0]
         det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
@@ -375,24 +444,24 @@ def _assemble(cams: CamState, data: BAData, active_m, lam, cam_active,
         Z0 = W[:, :, 0] * cast(l00)[:, None] \
             + W[:, :, 1] * cast(l10)[:, None]
         Z1 = W[:, :, 1] * cast(l11)[:, None]                # (M,6N)
-        YW = ein("ma,mb->ab", Z0, Z0) + ein("ma,mb->ab", Z1, Z1)
+        YW = _ein("ma,mb->ab", Z0, Z0) + _ein("ma,mb->ab", Z1, Z1)
         # yeb = sum_m W (V^-1 eB): g = V^-1 eB is elementwise per match
         g0 = Vinv[:, 0, 0] * eB[:, 0] + Vinv[:, 0, 1] * eB[:, 1]
         g1 = Vinv[:, 1, 0] * eB[:, 0] + Vinv[:, 1, 1] * eB[:, 1]
-        yeb = (ein("ma,m->a", W[:, :, 0], g0)
-               + ein("ma,m->a", W[:, :, 1], g1))
+        yeb = (_ein("ma,m->a", W[:, :, 0], g0)
+               + _ein("ma,m->a", W[:, :, 1], g1))
         if psum_axis is not None:
             YW = jax.lax.psum(YW, psum_axis)
             yeb = jax.lax.psum(yeb, psum_axis)
         S = U_aug - YW
-        rhs = eA - yeb
+        rhs = cache.eA - yeb
 
     # inactive cameras: identity diagonal block, zero rhs -> zero delta
     act6 = jnp.repeat(cam_active, 6)
     S = jnp.where(act6[:, None] & act6[None, :], S, 0.0)
     S = S + jnp.diag(jnp.where(act6, 0.0, 1.0))
     rhs = jnp.where(act6, rhs, 0.0)
-    return S, rhs, Vinv, W, eB
+    return S, rhs, Vinv
 
 
 def _solve_preconditioned(S, rhs):
@@ -450,17 +519,28 @@ def lm_run_impl(cams: CamState, data: BAData, cam_active: jnp.ndarray,
         it, strikes, *_ = st
         return (it < max_iter) & (strikes <= 5)
 
+    def recompute(cur):
+        return _assemble_cache(cur, data, active_m, cam_active, fast, N,
+                               psum_axis=psum_axis, vaug_idx=vaug_idx)
+
     def body(st):
         it, strikes, cur, err_cur, lam, n_acc = st
-        S, rhs, Vinv, W, eB = _assemble(
-            cur, data, active_m, lam, cam_active, fast, N,
-            psum_axis=psum_axis, vaug_idx=vaug_idx)
+        # NOTE: recomputing the cache unconditionally here measured
+        # FASTER than carrying it through a lax.cond that skips the
+        # recompute on rejected trials (2.4 vs 1.2 ms/iter at N=40
+        # production capacity): the conditional defeats XLA's in-place
+        # aliasing/fusion of the ~40 MB W buffer and every iteration
+        # pays the copy instead of the (well-fused) recompute.
+        cache = recompute(cur)
+        S, rhs, Vinv = _schur_solve_system(cache, active_m, lam,
+                                           cam_active, fast,
+                                           psum_axis=psum_axis)
         da = _solve_preconditioned(S, rhs)
         if fast:
             db = None
         else:
-            wtd = (W * da[None, :, None]).sum(1)
-            db = (Vinv * (eB - wtd)[:, None, :]).sum(2)
+            wtd = (cache.W * da[None, :, None]).sum(1)
+            db = (Vinv * (cache.eB - wtd)[:, None, :]).sum(2)
         trial = _apply_delta(cur, da, db, data, cam_active, active_m, fast)
         err_new = total_error(trial, data, active_m, fast,
                               psum_axis=psum_axis)
