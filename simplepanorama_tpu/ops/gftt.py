@@ -92,7 +92,7 @@ def gftt_sift(img_gray: jnp.ndarray, valid_hw: jnp.ndarray,
                                   max_corners=max_corners)
     H, W = img_gray.shape
     # single-level "pyramid": dense bf16 gradient buffer (see grad_stack)
-    flat = grad_stack(_blur(img_gray, 1.0)).reshape(-1, 2)
+    flat = grad_stack(_blur(img_gray, 1.0)).reshape(-1, 4)
     zeros = jnp.zeros_like(xy[:, 0], jnp.int32)
 
     def per_kp(x, y, l):

@@ -275,13 +275,18 @@ def _dense_refine(dog: jnp.ndarray, n_layers: int, contrast_thresh: float,
 
 def grad_stack(level_imgs: jnp.ndarray) -> jnp.ndarray:
     """Dense central-difference gradients of a (..., H, W) level stack:
-    returns (..., H, W, 2) with (dx, dy) interleaved in bf16.
+    returns (..., H, W, 4) = (dx, dy, dx@y+1, dy@y+1) in bf16 — each
+    pixel's gradient packed together with the gradient of the pixel one
+    row BELOW it (the vertical-pair trick).
 
     dy follows OpenCV's upward-positive convention I(y-1) - I(y+1).
     Precomputing gradients densely (cheap shifted subtractions) lets the
-    per-keypoint pass bilinearly sample dx/dy directly — 4 two-element
-    row gathers per sample instead of the 16 scalar gathers that
-    gradient-of-bilinear-intensity needs. bf16 halves gather bytes; the
+    per-keypoint pass bilinearly sample dx/dy directly; packing the
+    vertical pair halves the gather count again — one row gather yields
+    BOTH bilinear corners of a column (the per-keypoint sampling is
+    gather-THROUGHPUT-bound on TPU: ~13 M two-element row gathers per
+    6-image chunk measured 176 ms of a 320 ms extraction; rows are tiny,
+    so cost is per row, not per byte). bf16 halves gather bytes; the
     descriptor normalizes away the precision loss."""
     z = jnp.zeros_like(level_imgs[..., :, :1])
     dx = jnp.concatenate([z, level_imgs[..., :, 2:] - level_imgs[..., :, :-2],
@@ -289,31 +294,36 @@ def grad_stack(level_imgs: jnp.ndarray) -> jnp.ndarray:
     zr = jnp.zeros_like(level_imgs[..., :1, :])
     dy = jnp.concatenate([zr, level_imgs[..., :-2, :]
                           - level_imgs[..., 2:, :], zr], axis=-2)
-    return jnp.stack([dx, dy], axis=-1).astype(jnp.bfloat16)
+    g = jnp.stack([dx, dy], axis=-1)
+    # row y+1's gradient, replicated on the last row (never sampled:
+    # _grad_at clips y0 to H-2, so y0+1 <= H-1)
+    g_dn = jnp.concatenate([g[..., 1:, :, :], g[..., -1:, :, :]], axis=-3)
+    return jnp.concatenate([g, g_dn], axis=-1).astype(jnp.bfloat16)
 
 
 def _grad_at(pyr, l: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     """Bilinear sample of the dense gradient field: (gx, gy).
 
-    ``pyr`` = (flat2 (T, 2) bf16 gradient buffer, off, H, W) — off/H/W
-    are (possibly traced) per-keypoint scalars selecting the octave.
-    Flat row gathers are the only pyramid access pattern this backend
-    lowers efficiently (multidim indexing or per-octave stacks broadcast
-    the operand under vmap), and a single flat buffer lets ONE vmapped
-    pass serve keypoints of every octave — no per-octave recompute.
-    Each (dx, dy) pair is contiguous, so the four bilinear corners cost
-    four 2-element gathers total.
+    ``pyr`` = (flat4 (T, 4) bf16 vertical-pair gradient buffer (see
+    grad_stack), off, H, W) — off/H/W are (possibly traced) per-keypoint
+    scalars selecting the octave. Flat row gathers are the only pyramid
+    access pattern this backend lowers efficiently (multidim indexing or
+    per-octave stacks broadcast the operand under vmap), and a single
+    flat buffer lets ONE vmapped pass serve keypoints of every octave —
+    no per-octave recompute. Each gathered row carries both vertical
+    bilinear corners of one column, so a sample costs TWO row gathers
+    (left column, right column) instead of four.
     """
-    flat2, off, H, W = pyr
+    flat4, off, H, W = pyr
     x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
     fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
     base = off + l * (H * W) + y0 * W + x0
-    v00 = flat2[base]
-    v01 = flat2[base + 1]
-    v10 = flat2[base + W]
-    v11 = flat2[base + W + 1]
+    vl = flat4[base]          # (dx,dy)@(y0,x0)   + (dx,dy)@(y0+1,x0)
+    vr = flat4[base + 1]      # (dx,dy)@(y0,x0+1) + (dx,dy)@(y0+1,x0+1)
+    v00, v10 = vl[..., :2], vl[..., 2:]
+    v01, v11 = vr[..., :2], vr[..., 2:]
     g = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
          + (v10 * (1 - fx) + v11 * fx) * fy).astype(jnp.float32)
     return g[..., 0], g[..., 1]
@@ -619,7 +629,7 @@ def _sift_from_pyramid(gauss, valid_hw, max_kp: int, n_layers: int,
     # sampling dense bf16 gradients from the flat concatenated pyramid
     # (no per-octave loop; see grad_stack for the gather-count math)
     flat_pyr = jnp.concatenate(
-        [grad_stack(g).reshape(-1, 2) for g in gauss])
+        [grad_stack(g).reshape(-1, 4) for g in gauss])
     sizes_o = np.array([int(np.prod(g.shape)) for g in gauss])
     offs_o = np.concatenate([[0], np.cumsum(sizes_o)[:-1]]).astype(np.int32)
     Hs_o = np.array([g.shape[1] for g in gauss], np.int32)
