@@ -37,7 +37,7 @@ and stay single-device.
 from __future__ import annotations
 
 import functools
-import threading
+
 from typing import Optional, Sequence
 
 import numpy as np
@@ -280,28 +280,12 @@ def _pad_align(h, w):
     return (h + 7) // 8 * 8, (w + 127) // 128 * 128
 
 
-def _fetch_slabs(arr, nthreads: int = 4) -> np.ndarray:
-    """Device->host fetch of a (H, W, ...) canvas as column slabs pulled
-    by concurrent threads — the tunnel link sustains ~40% higher
-    throughput with multiple in-flight transfers than with one."""
-    H, W = arr.shape[:2]
-    if W < 1024 or nthreads <= 1:
-        return np.asarray(arr)
-    cuts = [W * i // nthreads for i in range(nthreads + 1)]
-    slabs = [arr[:, cuts[i]:cuts[i + 1]] for i in range(nthreads)]
-    jax.block_until_ready(slabs)
-    out = np.empty(arr.shape, arr.dtype)
-
-    def get(i):
-        out[:, cuts[i]:cuts[i + 1]] = np.asarray(slabs[i])
-
-    threads = [threading.Thread(target=get, args=(i,))
-               for i in range(nthreads)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    return out
+def _fetch_slabs(arr, nthreads: int = 8) -> np.ndarray:
+    """Device->host canvas fetch via concurrent column slabs (see
+    utils.transfer.fetch_slabs — the tunnel link aggregates ~2.9x with
+    8 in-flight transfers)."""
+    from simplepanorama_tpu.utils.transfer import fetch_slabs
+    return fetch_slabs(arr, nthreads)
 
 
 def prefetch_sources(params, full_images: Sequence[Optional[np.ndarray]]):
