@@ -334,6 +334,7 @@ def build_adjacency(feats: Sequence[Features],
     master = jax.random.PRNGKey(seed)
     total = max(1, len(pairs))
     acc_l, w_l, H_l, kq_l, kt_l, kv_l = [], [], [], [], [], []
+    out_chunks = []
     for s in range(0, len(pairs), chunk):
         if cancelled is not None and cancelled():
             raise RuntimeError("Process canceled")
@@ -371,19 +372,25 @@ def build_adjacency(feats: Sequence[Features],
                 args = shard_leading(args, mesh)
             accept, weight, H, kq, kt, kv = _verify_pairs(
                 *args, match_cap=cfg.max_matches_per_pair, **common)
-        nb = len(blk)
+        # defer the host fetch: a blocking device_get here would
+        # serialize chunk k's transfer against chunk k+1's dispatch (one
+        # ~25 ms round trip each on a network-attached device); instead
+        # every chunk's compute is enqueued first and the results drain
+        # in one pass below
+        out_chunks.append((len(blk), (accept, weight, H, kq, kt, kv)))
+        if progress is not None:
+            progress(len(blk) / total * 0.5)
+
+    for nb, devs in out_chunks:
         # ONE batched transfer for the six outputs (six eager np.asarray
         # fetches cost six round trips on a network-attached device)
-        accept, weight, H, kq, kt, kv = jax.device_get(
-            (accept, weight, H, kq, kt, kv))
+        accept, weight, H, kq, kt, kv = jax.device_get(devs)
         acc_l.append(accept[:nb])
         w_l.append(weight[:nb])
         H_l.append(np.array(H)[:nb])
         kq_l.append(kq[:nb])
         kt_l.append(kt[:nb])
         kv_l.append(kv[:nb])
-        if progress is not None:
-            progress(nb / total * 0.5)
 
     accept = np.concatenate(acc_l)
     weight = np.concatenate(w_l)
