@@ -48,6 +48,22 @@ def timed(fn, *args, reps=3):
     return best
 
 
+def measure_rtt():
+    """One blocking dispatch on the attached device costs a flat round
+    trip (~25 ms measured on the axon tunnel) that a timed(K-loop)/K
+    microbenchmark smears as 25/K ms of phantom per-iteration latency;
+    measure it so the report can subtract it."""
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda v: v * 1.0000001)
+    jax.block_until_ready(f(x))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(f(x))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     M = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
@@ -91,14 +107,15 @@ def main():
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     lam0 = jnp.float32(0.05)
-    t_as = timed(loop_assemble, cams, lam0) / K
-    t_asv = timed(loop_assemble_solve, cams, lam0) / K
-    t_er = timed(loop_error, cams, lam0) / K
+    rtt = measure_rtt()
+    t_as = (timed(loop_assemble, cams, lam0) - rtt) / K
+    t_asv = (timed(loop_assemble_solve, cams, lam0) - rtt) / K
+    t_er = (timed(loop_error, cams, lam0) - rtt) / K
 
     S0, rhs0, *_ = jax.jit(
         lambda c: ba._assemble(c, data, active_m, 0.05, active, False, N)
     )(cams)
-    t_sv = timed(loop_solve_only, S0, rhs0) / K
+    t_sv = (timed(loop_solve_only, S0, rhs0) - rtt) / K
 
     t_full = timed(
         lambda c: ba.lm_run(c, data, active, 0.05, fast=False,
@@ -112,9 +129,11 @@ def main():
           f"(solve+backsub ~{(t_asv-t_as)*1e3:.3f})")
     print(f"solve_only(dense)  {t_sv*1e3:8.3f} ms/iter")
     print(f"error eval         {t_er*1e3:8.3f} ms/iter")
+    t_dev = max(t_full - rtt, 1e-9)
     print(f"full lm_run        {t_full*1e3:8.1f} ms for {n_iter} iters "
-          f"-> {t_full/max(1,n_iter)*1e3:.3f} ms/iter, "
-          f"{n_iter/t_full:.0f} iters/s")
+          f"-> {t_dev/max(1,n_iter)*1e3:.3f} ms/iter device, "
+          f"{n_iter/t_dev:.0f} iters/s "
+          f"(dispatch RTT {rtt*1e3:.1f} ms subtracted)")
 
 
 if __name__ == "__main__":
